@@ -1,0 +1,178 @@
+"""Long→wide pivoting, id normalisation, per-series scalers.
+
+Parity targets in the reference: ``pivot_long_to_wide`` / ``normalize_id`` /
+``fit_series_scaler`` / ``inverse_transform``
+(``/root/reference/src/timesnet_forecast/utils/io.py:494-621``) and the
+fitted-scaler application ``_transform_dataframe`` (``train.py:569-592``).
+
+Scalers are stored as vectorised numpy arrays keyed by column order (plus the
+id→params dict for artifact compatibility with the reference pickle layout).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+ScalerDict = Dict[str, Tuple[float, float]]
+
+
+def normalize_id(name: str) -> str:
+    """Collapse whitespace runs to single underscores; keep unicode as-is."""
+
+    collapsed = " ".join(str(name).split())
+    return collapsed.strip().replace(" ", "_")
+
+
+# Alias used by submission handling.
+normalize_series_name = normalize_id
+
+
+def build_id_col(df: pd.DataFrame, id_col: str) -> pd.Series:
+    return df[id_col].astype(str).map(normalize_id)
+
+
+def pivot_long_to_wide(
+    df: pd.DataFrame,
+    date_col: str,
+    id_col: str,
+    target_col: str,
+    fill_missing_dates: bool = True,
+    fillna0: bool = True,
+) -> pd.DataFrame:
+    """Pivot a long (date, id, target) frame to a wide [T, N] frame.
+
+    Missing calendar days are reindexed at daily frequency when requested;
+    columns are sorted by (normalised) id.
+    """
+
+    out = df.copy()
+    out[date_col] = pd.to_datetime(out[date_col])
+    out[id_col] = build_id_col(out, id_col)
+    out = out[[date_col, id_col, target_col]].sort_values([date_col, id_col])
+    wide = out.pivot(index=date_col, columns=id_col, values=target_col)
+    if fill_missing_dates:
+        full_idx = pd.date_range(wide.index.min(), wide.index.max(), freq="D")
+        wide = wide.reindex(full_idx)
+    if fillna0:
+        wide = wide.fillna(0.0)
+    wide = wide.sort_index(axis=1)
+    wide.index.name = None
+    wide.columns.name = None
+    return wide.astype(float)
+
+
+def fit_series_scaler(
+    wide_df: pd.DataFrame,
+    method: str = "zscore",
+    per_series: bool = True,
+    eps: float = 1e-8,
+) -> Tuple[Optional[ScalerDict], pd.DataFrame]:
+    """Fit a zscore/minmax scaler and return (scaler, normalised frame).
+
+    zscore stores (mean, std) per column; minmax stores (min, max); degenerate
+    spreads fall back to unit scale. ``per_series=False`` fits one global pair
+    applied to every column.
+    """
+
+    ids = list(wide_df.columns)
+    if method == "none":
+        return None, wide_df.copy()
+    values = wide_df.values.astype(np.float32)
+    scaler: ScalerDict = {}
+    if per_series:
+        if method == "zscore":
+            mu = np.mean(values, axis=0)
+            sd = np.std(values, axis=0)
+            sd = np.where(sd < eps, 1.0, sd)
+            normed = (values - mu) / sd
+            for j, c in enumerate(ids):
+                scaler[c] = (float(mu[j]), float(sd[j]))
+        elif method == "minmax":
+            lo = np.min(values, axis=0)
+            hi = np.max(values, axis=0)
+            rng = np.where((hi - lo) < eps, 1.0, hi - lo)
+            normed = (values - lo) / rng
+            for j, c in enumerate(ids):
+                scaler[c] = (float(lo[j]), float(hi[j]))
+        else:
+            raise ValueError(f"Unknown scaler method '{method}'")
+    else:
+        if method == "zscore":
+            mu = float(np.mean(values))
+            sd = float(np.std(values))
+            sd = sd if sd >= eps else 1.0
+            normed = (values - mu) / sd
+            params = (mu, sd)
+        elif method == "minmax":
+            lo = float(np.min(values))
+            hi = float(np.max(values))
+            rng = (hi - lo) if (hi - lo) >= eps else 1.0
+            normed = (values - lo) / rng
+            params = (lo, hi)
+        else:
+            raise ValueError(f"Unknown scaler method '{method}'")
+        for c in ids:
+            scaler[c] = params
+    return scaler, pd.DataFrame(normed, index=wide_df.index, columns=ids)
+
+
+def scaler_arrays(
+    ids: List[str], scaler: Optional[ScalerDict], method: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorise a scaler dict into per-column (shift, scale) arrays.
+
+    The transform is always expressed as ``(x - shift) / scale`` and its
+    inverse as ``x * scale + shift``.
+    """
+
+    n = len(ids)
+    shift = np.zeros(n, dtype=np.float32)
+    scale = np.ones(n, dtype=np.float32)
+    if scaler is None or method == "none":
+        return shift, scale
+    for j, c in enumerate(ids):
+        a, b = scaler[c]
+        if method == "zscore":
+            shift[j] = a
+            scale[j] = b if b != 0 else 1.0
+        elif method == "minmax":
+            rng = (b - a) if (b - a) != 0 else 1.0
+            shift[j] = a
+            scale[j] = rng
+        else:
+            raise ValueError(f"Unknown scaler method '{method}'")
+    return shift, scale
+
+
+def transform_array(
+    values: np.ndarray, ids: List[str], scaler: Optional[ScalerDict], method: str
+) -> np.ndarray:
+    """Apply a fitted scaler to a [T, N] array column-wise."""
+
+    if method == "none" or scaler is None:
+        return values.astype(np.float32, copy=True)
+    shift, scale = scaler_arrays(ids, scaler, method)
+    return ((values.astype(np.float32) - shift[None, :]) / scale[None, :]).astype(np.float32)
+
+
+def transform_dataframe(
+    df: pd.DataFrame, ids: List[str], scaler: Optional[ScalerDict], method: str
+) -> pd.DataFrame:
+    if method == "none" or scaler is None:
+        return df.copy()
+    out = transform_array(df.to_numpy(dtype=np.float32, copy=True), ids, scaler, method)
+    return pd.DataFrame(out, index=df.index, columns=ids)
+
+
+def inverse_transform(
+    arr: np.ndarray, ids: List[str], scaler: Optional[ScalerDict], method: str
+) -> np.ndarray:
+    """Invert the fitted scaler on a [T_or_H, N] array."""
+
+    if method == "none" or scaler is None:
+        return arr.astype(np.float32, copy=True)
+    shift, scale = scaler_arrays(ids, scaler, method)
+    return (arr.astype(np.float32) * scale[None, :] + shift[None, :]).astype(np.float32)

@@ -1,0 +1,368 @@
+"""FFT dominant-period selection and static-shape period grouping.
+
+TPU-first re-design of the reference's ``FFTPeriodSelector``
+(``/root/reference/src/timesnet_forecast/models/timesnet.py:52-159``) and the
+host-side ``PeriodGrouper`` (``timesnet.py:286-557``):
+
+- The selector returns a **fixed-K** candidate set plus a validity mask
+  instead of filtering (static shapes keep the whole forward jittable);
+  candidates that the reference would drop are masked instead.
+- Grouping (duplicate merge, optional log-bucket keys, max-unique caps with
+  nearest-period reassignment) is expressed as O(K^2) masked ops over the
+  K-vector — no ``.item()`` host syncs, no data-dependent control flow.
+
+Equivalence note: the reference groups duplicate periods, runs one conv per
+group with logsumexp-aggregated logits, then softmax-weights groups. Because
+``softmax`` over candidates summed within a group equals
+``softmax(logsumexp per group)`` over groups, computing a delta per candidate
+with the *canonical (possibly remapped) period* and per-candidate softmax
+weights yields the identical combined residual.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+from jax import Array, lax
+
+_NEG_INF = float("-inf")
+
+
+class PeriodSelection(NamedTuple):
+    periods: Array  # [K] int32 — clamped candidate period lengths
+    amplitudes: Array  # [B, K] float32 — per-sample channel-median amplitudes
+    valid: Array  # [K] bool — reference-filtered candidates
+    freq_indices: Array  # [K] int32 — selected rFFT bins (>= 1)
+
+
+def _lower_median(x: Array, axis: int) -> Array:
+    """Median taking the lower of the two middle order statistics.
+
+    torch.median returns the lower middle element for even counts while
+    numpy/jnp average them; the reference relies on torch semantics
+    (``timesnet.py:111``), so we sort and index ``(n - 1) // 2`` explicitly.
+    """
+
+    n = x.shape[axis]
+    sorted_x = jnp.sort(x, axis=axis)
+    return jnp.take(sorted_x, (n - 1) // 2, axis=axis)
+
+
+def select_periods(
+    x: Array,
+    k_periods: int,
+    pmax: int,
+    min_period_threshold: int = 1,
+) -> PeriodSelection:
+    """Shared dominant-period search over ``x`` shaped [B, L, C].
+
+    Pipeline (all float32, fully jittable): rFFT over time -> amplitude ->
+    channel lower-median -> batch mean -> DC bin to -inf -> score with the
+    long-period log penalty ``-1e-8 * log1p(bin)`` -> static top-k ->
+    ``period = ceil(L / bin)`` clamped to ``[min_period_threshold,
+    min(pmax, L - 1)]`` -> candidates with fewer than two cycles are masked.
+    """
+
+    if x.ndim != 3:
+        raise ValueError("select_periods expects input shaped [B, L, C]")
+    B, L, C = x.shape
+    pmax = max(1, int(pmax))
+    min_thresh = min(pmax, max(1, int(min_period_threshold)))
+
+    n_freq = L // 2 + 1
+    k = max(0, min(int(k_periods), max(0, n_freq - 1)))
+    if k == 0 or L <= 1 or C <= 0 or B <= 0:
+        return PeriodSelection(
+            periods=jnp.zeros((0,), jnp.int32),
+            amplitudes=jnp.zeros((B, 0), jnp.float32),
+            valid=jnp.zeros((0,), bool),
+            freq_indices=jnp.zeros((0,), jnp.int32),
+        )
+
+    spec = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+    amp = jnp.abs(spec)  # [B, F, C]
+    amp_med = _lower_median(amp, axis=2)  # [B, F]
+    amp_mean = amp_med.mean(axis=0)  # [F]
+    amp_mean = amp_mean.at[0].set(_NEG_INF)
+
+    bins = jnp.arange(n_freq, dtype=jnp.float32)
+    scores = amp_mean - 1e-8 * jnp.log1p(bins)
+    _, idx = lax.top_k(scores, k)
+    idx = jnp.maximum(idx.astype(jnp.int32), 1)  # [K]
+
+    sample_amps = jnp.take_along_axis(
+        amp_med, jnp.broadcast_to(idx[None, :], (B, k)), axis=1
+    )  # [B, K]
+
+    upper = min(pmax, max(1, L - 1))
+    periods = (L + idx - 1) // idx
+    periods = jnp.clip(periods, min_thresh, upper)
+    cycles = (L + periods - 1) // periods
+    valid = cycles >= 2
+    if upper < min_thresh:
+        valid = jnp.zeros_like(valid)
+    return PeriodSelection(
+        periods=periods.astype(jnp.int32),
+        amplitudes=sample_amps.astype(jnp.float32),
+        valid=valid,
+        freq_indices=idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Depth-scheduled knob parsing (config-level replacement for the reference's
+# TIMES_PERIOD_MAX_UNIQ / TIMES_PERIOD_BINNING env schedules,
+# timesnet.py:162-273)
+# ---------------------------------------------------------------------------
+
+
+def resolve_scheduled(raw, depth: Optional[int]):
+    """Resolve a per-depth scheduled value like ``"0:4,2:8,default:2"``.
+
+    Plain ints/floats apply to every depth. String schedules accept
+    ``depth:value`` / ``depth=value`` tokens plus ``default``/``*`` entries;
+    the highest explicit key <= depth wins, then defaults, then bare tokens.
+    """
+
+    if raw is None:
+        return None
+    if isinstance(raw, (int, float)):
+        return raw
+    text = str(raw).strip()
+    if not text:
+        return None
+    tokens = [t.strip() for t in text.split(",") if t.strip()]
+    if not tokens:
+        return None
+    explicit = {}
+    defaults = []
+    bare = []
+    for token in tokens:
+        if ":" in token or "=" in token:
+            sep = ":" if ":" in token else "="
+            key, val = token.split(sep, 1)
+            key, val = key.strip().lower(), val.strip()
+            if not val:
+                continue
+            if key in {"default", "*"}:
+                defaults.append(val)
+            else:
+                try:
+                    explicit[int(key)] = val
+                except ValueError:
+                    continue
+        else:
+            bare.append(token)
+    chosen = None
+    if depth is not None and explicit:
+        if depth in explicit:
+            chosen = explicit[depth]
+        else:
+            lower_keys = [d for d in explicit if d <= depth]
+            if lower_keys:
+                chosen = explicit[max(lower_keys)]
+    if chosen is None and defaults:
+        chosen = defaults[-1]
+    if chosen is None and bare:
+        chosen = bare[-1]
+    if chosen is None and explicit:
+        chosen = explicit[min(explicit)]
+    if chosen is None:
+        chosen = tokens[-1]
+    return chosen
+
+
+def resolve_max_unique(raw, depth: Optional[int]) -> Optional[int]:
+    value = resolve_scheduled(raw, depth)
+    if value is None:
+        return None
+    try:
+        parsed = int(float(value))
+    except (TypeError, ValueError):
+        return None
+    return parsed if parsed > 0 else None
+
+
+def resolve_log_base(raw, depth: Optional[int]) -> Optional[float]:
+    value = resolve_scheduled(raw, depth)
+    if value is None:
+        return None
+    if isinstance(value, (int, float)):
+        base = float(value)
+        return base if base > 1.0 else None
+    text = str(value).strip().lower()
+    if not text or text in {"off", "false", "0", "none"}:
+        return None
+    base: Optional[float] = None
+    if ":" in text:
+        prefix, suffix = (p.strip() for p in text.split(":", 1))
+        if prefix in {"log", "logscale", "logarithmic"}:
+            try:
+                base = float(suffix)
+            except ValueError:
+                base = None
+        else:
+            try:
+                base = float(prefix)
+            except ValueError:
+                base = None
+    elif text in {"log", "logscale", "logarithmic"}:
+        base = 2.0
+    else:
+        try:
+            base = float(text)
+        except ValueError:
+            base = None
+    if base is None:
+        base = 2.0
+    return base if base > 1.0 else None
+
+
+# ---------------------------------------------------------------------------
+# Static-shape grouping
+# ---------------------------------------------------------------------------
+
+
+class GroupedPeriods(NamedTuple):
+    periods: Array  # [K] int32 — canonical (possibly remapped) period per candidate
+    valid: Array  # [K] bool — candidates contributing to the residual mix
+    weights: Array  # [B, K] float32 — per-candidate softmax weights (0 where invalid)
+    any_valid: Array  # [] bool
+    canonical: Array  # [K] int32 — representative candidate index per slot
+    group_count: Array  # [] int32 — number of distinct groups (telemetry)
+
+
+def group_periods(
+    periods: Array,
+    amplitudes: Array,
+    valid: Array,
+    seq_len: int,
+    min_period: Optional[int] = None,
+    max_period: Optional[int] = None,
+    log_base: Optional[float] = None,
+    max_unique: Optional[int] = None,
+) -> GroupedPeriods:
+    """Static-K masked reimplementation of the reference ``PeriodGrouper``.
+
+    Returns, for each candidate slot, the canonical period it should be folded
+    with (identical within a group; remapped to the nearest kept group when a
+    ``max_unique`` cap evicts its group) and per-candidate softmax weights.
+    """
+
+    K = int(periods.shape[0])
+    B = int(amplitudes.shape[0])
+    if K == 0:
+        return GroupedPeriods(
+            periods=periods,
+            valid=valid,
+            weights=jnp.zeros((B, 0), jnp.float32),
+            any_valid=jnp.asarray(False),
+            canonical=jnp.zeros((0,), jnp.int32),
+            group_count=jnp.asarray(0, jnp.int32),
+        )
+
+    p = periods.astype(jnp.int32)
+    ok = valid & (p > 0)
+    if min_period is not None:
+        ok = ok & (p >= int(min_period))
+    if max_period is not None:
+        ok = ok & (p <= int(max_period))
+    safe_p = jnp.maximum(p, 1)
+    pad = (-seq_len) % safe_p
+    cycles = (seq_len + pad) // safe_p
+    ok = ok & (cycles >= 2)
+
+    # Group keys: raw period, or log-bucket when binning is configured
+    # (timesnet.py:350-354, 547-551).
+    if log_base is None:
+        keys = safe_p
+    else:
+        keys = jnp.floor(
+            jnp.log(safe_p.astype(jnp.float32)) / math.log(float(log_base)) + 1e-6
+        ).astype(jnp.int32)
+
+    amps32 = amplitudes.astype(jnp.float32)
+    mean_amp = amps32.mean(axis=0)  # [K]
+
+    same = (keys[:, None] == keys[None, :]) & ok[:, None] & ok[None, :]  # [K, K]
+    # Canonical member per group: first argmax of batch-mean amplitude among
+    # members (timesnet.py:374-378; argmax tie -> lowest index).
+    member_scores = jnp.where(same, mean_amp[None, :], _NEG_INF)  # [K, K]
+    canonical = jnp.argmax(member_scores, axis=1).astype(jnp.int32)  # [K]
+    canonical = jnp.where(ok, canonical, jnp.arange(K, dtype=jnp.int32))
+
+    is_rep = ok & (canonical == jnp.arange(K, dtype=jnp.int32))
+
+    # Group score: mean over batch of logsumexp over member amplitudes
+    # (timesnet.py:373, 388).
+    member_mask = (canonical[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None]) & ok[None, :]
+    masked_amps = jnp.where(member_mask[None, :, :], amps32[:, None, :], _NEG_INF)  # [B,K,K]
+    group_logits = jax_logsumexp(masked_amps, axis=2)  # [B, K] (-inf for non-reps)
+    group_score = jnp.where(is_rep, group_logits.mean(axis=0), _NEG_INF)  # [K]
+
+    if max_unique is not None and max_unique < K:
+        # Rank representatives by (score desc, key asc) — mirrors torch.topk
+        # over groups ordered by sorted unique key (timesnet.py:405-419).
+        better = (group_score[None, :] > group_score[:, None]) | (
+            (group_score[None, :] == group_score[:, None])
+            & (keys[None, :] < keys[:, None])
+        )
+        better = better & is_rep[None, :] & is_rep[:, None]
+        rank = better.sum(axis=1)  # [K]
+        kept = is_rep & (rank < int(max_unique))
+        # Dropped groups merge into the kept group with the nearest period;
+        # distance ties resolve to the higher-scored kept group
+        # (timesnet.py:426-437: argmin over keep list in topk order).
+        pf = safe_p.astype(jnp.float32)
+        dist = jnp.abs(pf[:, None] - pf[None, :])  # [K, K] candidate x kept-rep
+        # Tie-break by kept rank (lower rank == higher score); scale epsilon
+        # below the minimum representable period gap (>= 1 for ints).
+        tie = rank.astype(jnp.float32) / (2.0 * K)
+        dist_keyed = jnp.where(kept[None, :], dist + tie[None, :], jnp.inf)
+        nearest_kept = jnp.argmin(dist_keyed, axis=1).astype(jnp.int32)  # [K]
+        new_rep = jnp.where(kept[canonical], canonical, nearest_kept[canonical])
+        canonical = jnp.where(ok, new_rep, canonical)
+        is_rep = ok & (canonical == jnp.arange(K, dtype=jnp.int32))
+
+    final_periods = jnp.where(ok, safe_p[canonical], safe_p)
+
+    # Per-candidate softmax over valid amplitudes (float32); identical to the
+    # reference's softmax + scatter_add group aggregation (timesnet.py:992-1009).
+    masked = jnp.where(ok[None, :], amps32, _NEG_INF)
+    any_valid = ok.any()
+    weights = jnp.where(
+        any_valid,
+        jax_softmax_safe(masked, axis=1),
+        jnp.zeros_like(amps32),
+    )
+    weights = jnp.where(ok[None, :], weights, 0.0)
+
+    group_count = is_rep.sum().astype(jnp.int32)
+    return GroupedPeriods(
+        periods=final_periods.astype(jnp.int32),
+        valid=ok,
+        weights=weights,
+        any_valid=any_valid,
+        canonical=canonical,
+        group_count=group_count,
+    )
+
+
+def jax_logsumexp(x: Array, axis: int) -> Array:
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    out = jnp.log(jnp.sum(jnp.exp(x - m_safe), axis=axis)) + jnp.squeeze(m_safe, axis)
+    return jnp.where(jnp.isfinite(jnp.squeeze(m, axis)), out, jnp.squeeze(m, axis))
+
+
+def jax_softmax_safe(x: Array, axis: int) -> Array:
+    """Softmax tolerant of all--inf rows (returns zeros there)."""
+
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(x - m_safe)
+    e = jnp.where(jnp.isfinite(x), e, 0.0)
+    denom = e.sum(axis=axis, keepdims=True)
+    return jnp.where(denom > 0, e / jnp.maximum(denom, 1e-38), 0.0)

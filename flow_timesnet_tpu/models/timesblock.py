@@ -1,0 +1,188 @@
+"""TimesBlock: weighted period-fold inception residuals (flax.linen).
+
+Re-design of the reference ``InceptionBranch`` / ``InceptionBlock`` /
+``TimesBlock`` (``/root/reference/src/timesnet_forecast/models/timesnet.py:
+560-1101``) on top of the masked dilated-tap convolution in
+:mod:`flow_timesnet_tpu.ops.fold`. All selected periods are processed in one
+candidate-batched ``[K, B, Lp, C]`` program; the grouping/weighting semantics
+of the reference's PeriodGrouper are reproduced by
+:func:`flow_timesnet_tpu.models.period.group_periods`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.fold import FoldGeometry, combine_residuals, make_geometry, pad_time, pointwise_conv, tap_conv
+from .embedding import torch_bias_init, torch_kernel_init
+from .period import PeriodSelection, group_periods
+
+
+def _activation(name: str):
+    return nn.relu if name.lower() == "relu" else nn.gelu
+
+
+class InceptionBranch(nn.Module):
+    """One conv path: plain (kh, kw) conv, or 1x1 -> (kh, kw) -> 1x1 bottleneck."""
+
+    in_ch: int
+    out_ch: int
+    kernel_size: Tuple[int, int]
+    bottleneck_ratio: float = 1.0
+
+    @nn.compact
+    def __call__(self, h: Array, geom: FoldGeometry) -> Array:
+        kh, kw = self.kernel_size
+        if self.bottleneck_ratio <= 0:
+            raise ValueError("bottleneck_ratio must be a positive value")
+        if math.isclose(self.bottleneck_ratio, 1.0, rel_tol=1e-9, abs_tol=1e-9):
+            kernel = self.param(
+                "conv_kernel", torch_kernel_init(), (kh, kw, self.in_ch, self.out_ch)
+            )
+            bias = self.param(
+                "conv_bias", torch_bias_init(self.in_ch * kh * kw), (self.out_ch,)
+            )
+            return tap_conv(h, geom, kernel, bias, kh, kw)
+        base = min(self.in_ch, self.out_ch)
+        mid = max(1, int(math.ceil(base / float(self.bottleneck_ratio))))
+        w_in = self.param("reduce_kernel", torch_kernel_init(), (self.in_ch, mid))
+        b_in = self.param("reduce_bias", torch_bias_init(self.in_ch), (mid,))
+        w_mid = self.param("conv_kernel", torch_kernel_init(), (kh, kw, mid, mid))
+        b_mid = self.param("conv_bias", torch_bias_init(mid * kh * kw), (mid,))
+        w_out = self.param("expand_kernel", torch_kernel_init(), (mid, self.out_ch))
+        b_out = self.param("expand_bias", torch_bias_init(mid), (self.out_ch,))
+        h = pointwise_conv(h, w_in, b_in)
+        h = tap_conv(h, geom, w_mid, b_mid, kh, kw)
+        return pointwise_conv(h, w_out, b_out)
+
+
+class InceptionBlock(nn.Module):
+    """Multi-kernel branches -> concat -> 1x1 proj -> act -> dropout -> +res."""
+
+    in_ch: int
+    out_ch: int
+    kernel_set: Tuple[Tuple[int, int], ...]
+    dropout: float
+    activation: str = "gelu"
+    bottleneck_ratio: float = 1.0
+
+    @nn.compact
+    def __call__(self, h: Array, geom: FoldGeometry, deterministic: bool = True) -> Array:
+        if not self.kernel_set:
+            raise ValueError("kernel_set must contain at least one kernel size")
+        if self.in_ch != self.out_ch:
+            w_res = self.param("res_kernel", torch_kernel_init(), (self.in_ch, self.out_ch))
+            b_res = self.param("res_bias", torch_bias_init(self.in_ch), (self.out_ch,))
+            res = pointwise_conv(h, w_res, b_res)
+        else:
+            res = h
+        feats = [
+            InceptionBranch(
+                in_ch=self.in_ch,
+                out_ch=self.out_ch,
+                kernel_size=(int(kh), int(kw)),
+                bottleneck_ratio=self.bottleneck_ratio,
+                name=f"branch_{i}",
+            )(h, geom)
+            for i, (kh, kw) in enumerate(self.kernel_set)
+        ]
+        z = jnp.concatenate(feats, axis=-1)
+        cat_ch = self.out_ch * len(self.kernel_set)
+        w_proj = self.param("proj_kernel", torch_kernel_init(), (cat_ch, self.out_ch))
+        b_proj = self.param("proj_bias", torch_bias_init(cat_ch), (self.out_ch,))
+        z = pointwise_conv(z, w_proj, b_proj)
+        z = _activation(self.activation)(z)
+        z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
+        return z + res
+
+
+class TimesBlock(nn.Module):
+    """Period-fold residual block on [B, L, d_model] features.
+
+    For each grouped period candidate: fold, run the two-stage inception
+    stack (d_model -> d_ff -> d_model with a mid activation), compute the
+    residual delta against the folded input, and softmax-weight candidates by
+    their FFT amplitudes. Conv compute runs in float32 (the reference's
+    default conv island, timesnet.py:1047-1062); when ``conv_dtype`` is
+    bfloat16 the taps matmuls use bf16 inputs with f32 accumulation (the
+    TIMES_MP_CONV analog).
+    """
+
+    d_model: int
+    d_ff: int
+    kernel_set: Tuple[Tuple[int, int], ...]
+    dropout: float
+    activation: str = "gelu"
+    bottleneck_ratio: float = 1.0
+    min_period: int = 1
+    max_period: int = 10_000
+    p_cap: int = 10_000  # static bound on candidate periods (min(pmax, L-1))
+    log_base: Optional[float] = None
+    max_unique: Optional[int] = None
+    conv_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        selection: PeriodSelection,
+        deterministic: bool = True,
+    ) -> Array:
+        if x.ndim != 3:
+            raise ValueError("TimesBlock expects input shaped [B, L, d_model]")
+        B, L, C = x.shape
+        if C != self.d_model:
+            raise ValueError("Input channel dimension does not match configured d_model")
+        K = int(selection.periods.shape[0])
+        if K == 0:
+            return x
+
+        grouped = group_periods(
+            selection.periods,
+            selection.amplitudes,
+            selection.valid,
+            seq_len=L,
+            min_period=self.min_period,
+            max_period=self.max_period,
+            log_base=self.log_base,
+            max_unique=self.max_unique,
+        )
+        p_cap = min(int(self.p_cap), max(1, L - 1))
+        geom = make_geometry(grouped.periods, L, p_cap)
+
+        conv_dt = jnp.bfloat16 if self.conv_dtype == "bfloat16" else jnp.float32
+        xg = pad_time(x.astype(jnp.float32), L, geom.Lp)
+        h = jnp.broadcast_to(xg[None], (K, B, geom.Lp, C)).astype(conv_dt)
+
+        h = InceptionBlock(
+            in_ch=self.d_model,
+            out_ch=self.d_ff,
+            kernel_set=self.kernel_set,
+            dropout=self.dropout,
+            activation=self.activation,
+            bottleneck_ratio=self.bottleneck_ratio,
+            name="inception_in",
+        )(h, geom, deterministic).astype(conv_dt)
+        h = _activation(self.activation)(h)
+        h = InceptionBlock(
+            in_ch=self.d_ff,
+            out_ch=self.d_model,
+            kernel_set=self.kernel_set,
+            dropout=self.dropout,
+            activation=self.activation,
+            bottleneck_ratio=self.bottleneck_ratio,
+            name="inception_out",
+        )(h, geom, deterministic)
+
+        # Residual delta vs the folded input, cropped to the original length
+        # (the zero-pad tail of the fold is discarded, timesnet.py:1063-1066).
+        delta = h.astype(jnp.float32)[:, :, :L, :] - xg[None, :, :L, :]
+        delta = delta.astype(x.dtype)
+        out = combine_residuals(delta, grouped.weights, x)
+        # No valid periods -> identity (reference returns x, timesnet.py:796-797).
+        return jnp.where(grouped.any_valid, out, x)

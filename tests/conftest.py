@@ -1,0 +1,23 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+Mirrors the reference's CPU-runnable test strategy (SURVEY.md §4) while also
+exercising multi-chip sharding logic on a virtual mesh. The axon TPU plugin
+(registered via sitecustomize) overrides JAX_PLATFORMS programmatically, so
+we pin the platform through jax.config after import as well.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
