@@ -71,7 +71,10 @@ def negative_binomial_nll(
     valid = negative_binomial_mask(y32, mu, alpha, mask)
     weight = valid.astype(f32)
     denom = jnp.clip(weight.sum(), 1.0, None)
-    return -(ll * weight).sum() / denom
+    # Zero invalid elements before the reduce (NaN-safe; the reference's
+    # ``(ll * weight).sum()`` would propagate NaN from masked entries).
+    masked_ll = jnp.where(valid, ll, 0.0)
+    return -masked_ll.sum() / denom
 
 
 def gaussian_nll_loss(

@@ -24,7 +24,10 @@ from .period import PeriodSelection, group_periods
 
 
 def _activation(name: str):
-    return nn.relu if name.lower() == "relu" else nn.gelu
+    if name.lower() == "relu":
+        return nn.relu
+    # exact (erf) GELU — torch nn.GELU default; jax defaults to tanh-approx
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class InceptionBranch(nn.Module):

@@ -1,0 +1,276 @@
+"""North-star parity gates against the PyTorch reference implementation.
+
+Covers: NB-NLL (<= 1e-5), FFT period selector outputs, and the full TimesNet
+forward with transplanted weights (<= 1e-4 elementwise on rate/dispersion).
+Skipped when the reference checkout is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from torch_ref import HAS_REFERENCE, convert_timesnet_state
+
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE, reason="reference checkout missing")
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from flow_timesnet_tpu import losses as jlosses
+from flow_timesnet_tpu.models.period import select_periods
+from flow_timesnet_tpu.models.timesnet import TimesNet, TimesNetConfig
+
+from timesnet_forecast import losses as tlosses
+from timesnet_forecast.models.timesnet import (
+    FFTPeriodSelector as TorchSelector,
+    TimesNet as TorchTimesNet,
+)
+
+
+def test_nb_nll_matches_reference():
+    rng = np.random.default_rng(0)
+    y = rng.poisson(3.0, size=(4, 7, 5)).astype(np.float32)
+    rate = rng.gamma(2.0, 2.0, size=(4, 7, 5)).astype(np.float32)
+    disp = rng.gamma(2.0, 0.5, size=(4, 7, 5)).astype(np.float32)
+    mask = (rng.random((4, 7, 5)) > 0.3).astype(np.float32)
+
+    ours = float(
+        jlosses.negative_binomial_nll(
+            jnp.asarray(y), jnp.asarray(rate), jnp.asarray(disp), jnp.asarray(mask)
+        )
+    )
+    theirs = float(
+        tlosses.negative_binomial_nll(
+            torch.from_numpy(y), torch.from_numpy(rate), torch.from_numpy(disp),
+            torch.from_numpy(mask),
+        )
+    )
+    assert abs(ours - theirs) <= 1e-5
+
+
+def test_nb_nll_nan_targets_are_masked_out():
+    """NaN targets are excluded (we improve on the reference, which would
+    propagate NaN through ``(ll * weight).sum()`` — its pipeline never feeds
+    NaN targets because of fillna(0))."""
+
+    y = np.array([[[0.0], [2.0], [np.nan]]], dtype=np.float32)
+    rate = np.array([[[1.0], [2.0], [3.0]]], dtype=np.float32)
+    disp = np.array([[[0.5], [0.5], [0.5]]], dtype=np.float32)
+    ours = float(
+        jlosses.negative_binomial_nll(jnp.asarray(y), jnp.asarray(rate), jnp.asarray(disp))
+    )
+    finite_only = float(
+        tlosses.negative_binomial_nll(
+            torch.from_numpy(y[:, :2]), torch.from_numpy(rate[:, :2]),
+            torch.from_numpy(disp[:, :2]),
+        )
+    )
+    # reference mean over 2 valid elements vs ours over denom 2
+    assert np.isfinite(ours)
+    assert abs(ours - finite_only) <= 1e-6
+
+
+@pytest.mark.parametrize("L,k,pmax,min_thresh", [(48, 3, 48, 1), (28, 2, 28, 7), (96, 4, 96, 2)])
+def test_fft_selector_matches_reference(L, k, pmax, min_thresh):
+    rng = np.random.default_rng(1)
+    t = np.arange(L, dtype=np.float32)
+    base = (
+        1.5 * np.sin(2 * np.pi * t / 12.0)
+        + 0.7 * np.sin(2 * np.pi * t / 6.0)
+        + 0.2 * rng.standard_normal(L).astype(np.float32)
+    )
+    x = np.stack([base + 0.1 * j for j in range(3)], axis=-1)[None].repeat(2, axis=0)
+    x = x.astype(np.float32)
+
+    sel = select_periods(jnp.asarray(x), k, pmax, min_thresh)
+    torch_sel = TorchSelector(k_periods=k, pmax=pmax, min_period_threshold=min_thresh)
+    t_periods, t_amps = torch_sel(torch.from_numpy(x))
+
+    ours_p = np.asarray(sel.periods)[np.asarray(sel.valid)]
+    ours_a = np.asarray(sel.amplitudes)[:, np.asarray(sel.valid)]
+    assert list(ours_p) == list(t_periods.numpy())
+    np.testing.assert_allclose(ours_a, t_amps.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def _build_pair(seed=0, **overrides):
+    """Construct matched (torch reference, ours) models with shared weights."""
+
+    defaults = dict(
+        input_len=28,
+        pred_len=7,
+        d_model=16,
+        d_ff=24,
+        n_layers=2,
+        k_periods=2,
+        kernel_set=((3, 3), (5, 5)),
+        dropout=0.0,
+        activation="gelu",
+        mode="direct",
+        bottleneck_ratio=2.0,
+        min_period_threshold=2,
+        c_in=1,
+        static_dim=5,
+        time_features=8,
+        id_vocab=6,
+        id_embed_dim=4,
+        static_proj_dim=6,
+        static_layernorm=True,
+        use_zero_mean_context=True,
+        context_rank=3,
+        context_scale=0.05,
+        use_constant_context_bias=False,
+        use_late_bias_head=True,
+        min_sigma=1e-3,
+    )
+    defaults.update(overrides)
+    cfg = TimesNetConfig(**defaults)
+
+    torch.manual_seed(seed)
+    tmodel = TorchTimesNet(
+        input_len=cfg.input_len,
+        pred_len=cfg.pred_len,
+        d_model=cfg.d_model,
+        n_layers=cfg.n_layers,
+        k_periods=cfg.k_periods,
+        kernel_set=[list(k) for k in cfg.kernel_set],
+        dropout=cfg.dropout,
+        activation=cfg.activation,
+        mode=cfg.mode,
+        d_ff=cfg.d_ff,
+        bottleneck_ratio=cfg.bottleneck_ratio,
+        min_period_threshold=cfg.min_period_threshold,
+        use_embedding_norm=cfg.use_embedding_norm,
+        min_sigma=cfg.min_sigma,
+        id_embed_dim=cfg.id_embed_dim,
+        static_proj_dim=cfg.static_proj_dim,
+        static_layernorm=cfg.static_layernorm,
+        use_zero_mean_context=cfg.use_zero_mean_context,
+        context_rank=cfg.context_rank,
+        context_scale=cfg.context_scale,
+        use_constant_context_bias=cfg.use_constant_context_bias,
+    )
+    tmodel.eval()
+    return cfg, tmodel
+
+
+def _warmup_inputs(cfg, B, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(cfg.input_len, dtype=np.float32)
+    x = (
+        2.0
+        + np.sin(2 * np.pi * t / 7.0)[None, :, None]
+        + 0.3 * rng.standard_normal((B, cfg.input_len, cfg.c_in)).astype(np.float32)
+    ).astype(np.float32)
+    marks = rng.standard_normal((B, cfg.input_len, cfg.time_features)).astype(np.float32)
+    static = rng.standard_normal((B, cfg.c_in, cfg.static_dim)).astype(np.float32)
+    ids = rng.integers(0, cfg.id_vocab, size=(B, cfg.c_in)).astype(np.int64)
+    # The reference sizes its lazily-built embedding to max(id) + 1 on the
+    # first forward (timesnet.py:1612); pin the max id so both vocabularies
+    # match cfg.id_vocab.
+    ids[0, 0] = cfg.id_vocab - 1
+    return x, marks, static, ids
+
+
+@pytest.mark.parametrize("mode", ["direct", "recursive"])
+def test_full_forward_matches_reference(mode):
+    cfg, tmodel = _build_pair(mode=mode)
+    B = 4
+    x, marks, static, ids = _warmup_inputs(cfg, B)
+
+    with torch.no_grad():
+        t_rate, t_disp = tmodel(
+            torch.from_numpy(x),
+            x_mark=torch.from_numpy(marks),
+            series_static=torch.from_numpy(static),
+            series_ids=torch.from_numpy(ids),
+        )
+
+    model = TimesNet(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key},
+        jnp.asarray(x),
+        jnp.asarray(marks),
+        jnp.asarray(static),
+        jnp.asarray(ids),
+        deterministic=True,
+    )
+    transplanted = convert_timesnet_state(tmodel, cfg)
+    # Every initialised leaf must be covered by the transplant.
+    import flax
+
+    flat_init = flax.traverse_util.flatten_dict(variables["params"])
+    flat_new = flax.traverse_util.flatten_dict(transplanted)
+    assert set(flat_init) == set(flat_new), (
+        sorted(set(flat_init) - set(flat_new)),
+        sorted(set(flat_new) - set(flat_init)),
+    )
+    for path, leaf in flat_init.items():
+        assert np.asarray(flat_new[path]).shape == np.asarray(leaf).shape, path
+    params = flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
+    )
+
+    rate, disp = model.apply(
+        {"params": params},
+        jnp.asarray(x),
+        jnp.asarray(marks),
+        jnp.asarray(static),
+        jnp.asarray(ids),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rate), t_rate.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(disp), t_disp.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_forward_nll_delta_within_tolerance():
+    """End-to-end NB-NLL computed from both stacks agrees within 1e-5."""
+
+    cfg, tmodel = _build_pair()
+    B = 4
+    x, marks, static, ids = _warmup_inputs(cfg, B, seed=3)
+    rng = np.random.default_rng(9)
+    y = rng.poisson(2.0, size=(B, cfg.pred_len, cfg.c_in)).astype(np.float32)
+
+    with torch.no_grad():
+        t_rate, t_disp = tmodel(
+            torch.from_numpy(x),
+            x_mark=torch.from_numpy(marks),
+            series_static=torch.from_numpy(static),
+            series_ids=torch.from_numpy(ids),
+        )
+    t_nll = float(
+        tlosses.negative_binomial_nll(
+            torch.from_numpy(y), t_rate, t_disp,
+            tlosses.negative_binomial_mask(torch.from_numpy(y), t_rate, t_disp),
+        )
+    )
+
+    import flax
+
+    model = TimesNet(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+        deterministic=True,
+    )
+    flat_new = flax.traverse_util.flatten_dict(convert_timesnet_state(tmodel, cfg))
+    params = flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
+    )
+    rate, disp = model.apply(
+        {"params": params},
+        jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+        deterministic=True,
+    )
+    ours = float(
+        jlosses.negative_binomial_nll(
+            jnp.asarray(y), rate, disp,
+            jlosses.negative_binomial_mask(jnp.asarray(y), rate, disp),
+        )
+    )
+    assert abs(ours - t_nll) <= 1e-5
