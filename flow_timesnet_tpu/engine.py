@@ -1,0 +1,304 @@
+"""Jitted training / evaluation / decoding steps.
+
+This replaces the reference's per-batch Python orchestration, AMP GradScaler
+and CUDA-graph capture (``train.py:1261-1534``) with compiled JAX programs:
+one ``train_step`` (loss + grads + AdamW update, optional accumulation), one
+``eval_step`` streaming masked NLL/sMAPE/per-series accumulators on device,
+and a ``lax.scan`` recursive decoder sharing the direct checkpoint
+(north-star requirement; reference loop at ``predict.py:307-342``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .losses import negative_binomial_mask, negative_binomial_nll
+from .models.timesnet import TimesNet, TimesNetConfig
+from .optim import build_optimizer
+from .utils.metrics import smape_batch_sums, wsmape_batch_sums
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    grad_accum: Any  # zeros-like params when accumulating, else None
+
+
+class EvalAccum(NamedTuple):
+    nll_num: float
+    nll_den: float
+    smape_sum: float
+    smape_cnt: float
+    series_sums: np.ndarray
+    series_cnts: np.ndarray
+
+
+def _base_mask(y, mask, row_valid, use_loss_masking: bool):
+    base = (mask > 0.0) if use_loss_masking else jnp.ones_like(y, dtype=bool)
+    if row_valid is not None:
+        base = base & (row_valid[:, None, None] > 0.0)
+    return base
+
+
+class Engine:
+    """Compiled step functions bound to one model configuration."""
+
+    def __init__(
+        self,
+        cfg: TimesNetConfig,
+        *,
+        use_loss_masking: bool = False,
+        accumulation_steps: int = 1,
+        grad_clip_norm: float = 0.0,
+        weight_decay: float = 0.0,
+        num_series: int = 1,
+    ) -> None:
+        self.cfg = cfg
+        self.model = TimesNet(cfg)
+        self.use_loss_masking = bool(use_loss_masking)
+        self.accum_steps = max(1, int(accumulation_steps))
+        self.tx = build_optimizer(grad_clip_norm, weight_decay)
+        self.num_series = int(num_series)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            static_argnames=("do_update",),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._forward = jax.jit(
+            functools.partial(self._forward_impl, deterministic=True)
+        )
+        self._rollout = jax.jit(self._rollout_impl, static_argnames=("horizon",))
+
+    # -- initialisation -------------------------------------------------------
+
+    def init_state(self, rng, sample_batch: Dict[str, Any]) -> TrainState:
+        variables = self.model.init(
+            {"params": rng},
+            sample_batch["x"],
+            sample_batch.get("x_mark"),
+            sample_batch.get("static"),
+            sample_batch.get("ids"),
+            dispersion_floor=sample_batch.get("floor"),
+            deterministic=True,
+        )
+        params = variables["params"]
+        opt_state = self.tx.init(params)
+        accum = (
+            jax.tree_util.tree_map(jnp.zeros_like, params)
+            if self.accum_steps > 1
+            else None
+        )
+        return TrainState(params=params, opt_state=opt_state, grad_accum=accum)
+
+    # -- forward / decode ------------------------------------------------------
+
+    def _forward_impl(
+        self, params, x, x_mark, static, ids, floor, deterministic=True, rng=None
+    ):
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.model.apply(
+            {"params": params},
+            x,
+            x_mark,
+            static,
+            ids,
+            dispersion_floor=floor,
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+    def forward(self, params, x, x_mark=None, static=None, ids=None, floor=None):
+        return self._forward(params, x, x_mark, static, ids, floor)
+
+    def _rollout_impl(self, params, x, x_mark, y_mark, static, ids, floor, horizon: int):
+        """Recursive H-step decode via lax.scan carrying (window, marks)."""
+
+        has_marks = x_mark is not None
+        if has_marks and y_mark is None:
+            raise ValueError(
+                "Temporal features provided for history but missing future marks "
+                "during recursive forecast"
+            )
+
+        def step(carry, ymark_t):
+            window, marks = carry
+            rate, disp = self._forward_impl(
+                params, window, marks, static, ids, floor, deterministic=True
+            )
+            rate_step = rate[:, -1:, :]
+            disp_step = disp[:, -1:, :]
+            new_window = jnp.concatenate([window[:, 1:, :], rate_step], axis=1)
+            if has_marks:
+                new_marks = jnp.concatenate([marks[:, 1:, :], ymark_t[:, None, :]], axis=1)
+            else:
+                new_marks = marks
+            return (new_window, new_marks), (rate_step[:, 0], disp_step[:, 0])
+
+        xs = jnp.swapaxes(y_mark, 0, 1)[:horizon] if has_marks else jnp.zeros((horizon, 0))
+        (_, _), (rates, disps) = jax.lax.scan(step, (x, x_mark), xs, length=horizon)
+        return jnp.swapaxes(rates, 0, 1), jnp.swapaxes(disps, 0, 1)
+
+    def rollout(self, params, x, horizon, x_mark=None, y_mark=None, static=None,
+                ids=None, floor=None):
+        return self._rollout(params, x, x_mark, y_mark, static, ids, floor,
+                             horizon=int(horizon))
+
+    # -- training ---------------------------------------------------------------
+
+    def _loss(self, params, batch, rng):
+        rate, dispersion = self.model.apply(
+            {"params": params},
+            batch["x"],
+            batch.get("x_mark"),
+            batch.get("static"),
+            batch.get("ids"),
+            dispersion_floor=batch.get("floor"),
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        y = batch["y"]
+        base = _base_mask(y, batch["mask"], batch.get("row_valid"), self.use_loss_masking)
+        nbm = negative_binomial_mask(y, rate, dispersion, base)
+        loss = negative_binomial_nll(y, rate, dispersion, nbm)
+        stats = {
+            "mask_true": nbm.sum().astype(jnp.float32),
+            "mask_total": jnp.asarray(float(np.prod(y.shape)), jnp.float32),
+        }
+        return loss, stats
+
+    def _train_step_impl(self, state: TrainState, lr, rng, batch, *, do_update: bool):
+        (loss, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch, rng
+        )
+        if self.accum_steps > 1:
+            accum = jax.tree_util.tree_map(
+                lambda a, g: a + g / self.accum_steps, state.grad_accum, grads
+            )
+            if do_update:
+                updates, opt_state = self.tx.update(accum, state.opt_state, state.params)
+                updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+                params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+                new_state = TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    grad_accum=jax.tree_util.tree_map(jnp.zeros_like, accum),
+                )
+            else:
+                new_state = state.replace(grad_accum=accum)
+        else:
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state, grad_accum=None)
+        return new_state, loss, stats
+
+    def train_step(self, state, lr, rng, batch, do_update: bool = True):
+        return self._train_step(state, lr, rng, batch, do_update=bool(do_update))
+
+    # -- evaluation ---------------------------------------------------------------
+
+    def _eval_step_impl(self, params, batch):
+        y = batch["y"]
+        if self.cfg.mode == "direct":
+            rate, dispersion = self._forward_impl(
+                params,
+                batch["x"],
+                batch.get("x_mark"),
+                batch.get("static"),
+                batch.get("ids"),
+                batch.get("floor"),
+                deterministic=True,
+            )
+        else:
+            rate, dispersion = self._rollout_impl(
+                params,
+                batch["x"],
+                batch.get("x_mark"),
+                batch.get("y_mark"),
+                batch.get("static"),
+                batch.get("ids"),
+                batch.get("floor"),
+                horizon=int(y.shape[1]),
+            )
+        rate = rate[:, : y.shape[1], :]
+        dispersion = dispersion[:, : y.shape[1], :]
+        base = _base_mask(y, batch["mask"], batch.get("row_valid"), self.use_loss_masking)
+        if not self.use_loss_masking and batch.get("row_valid") is None:
+            base = jnp.ones_like(y, dtype=bool)
+        nbm = negative_binomial_mask(y, rate, dispersion, base)
+        nb_loss = negative_binomial_nll(y, rate, dispersion, nbm)
+        mask_total = nbm.astype(jnp.float32).sum()
+        denom = jnp.where(mask_total > 0.0, mask_total, float(np.prod(y.shape)))
+        maskf = nbm.astype(y.dtype)
+        y_eval = y * maskf
+        rate_eval = rate * maskf
+        smape_s, smape_c = smape_batch_sums(y_eval, rate_eval)
+        if batch.get("ids") is not None:
+            sid = batch["ids"].astype(jnp.int32)
+        else:
+            sid = jnp.broadcast_to(
+                jnp.arange(y.shape[2], dtype=jnp.int32)[None], (y.shape[0], y.shape[2])
+            )
+        ws_sums, ws_cnts = wsmape_batch_sums(y_eval, rate_eval, sid, self.num_series)
+        return (
+            nb_loss * denom,
+            denom,
+            smape_s,
+            smape_c,
+            ws_sums,
+            ws_cnts,
+        )
+
+    def eval_step(self, params, batch):
+        return self._eval_step(params, batch)
+
+    def evaluate(self, params, batches) -> Dict[str, float]:
+        """Stream eval metrics over an iterable of device-ready batches."""
+
+        nll_num = 0.0
+        nll_den = 0.0
+        s_sum = 0.0
+        s_cnt = 0.0
+        ws_sums = np.zeros(self.num_series, np.float32)
+        ws_cnts = np.zeros(self.num_series, np.float32)
+        for batch in batches:
+            out = self.eval_step(params, batch)
+            nll_num += float(out[0])
+            nll_den += float(out[1])
+            s_sum += float(out[2])
+            s_cnt += float(out[3])
+            ws_sums += np.asarray(out[4])
+            ws_cnts += np.asarray(out[5])
+        smape = s_sum / s_cnt if s_cnt > 0 else 0.0
+        nll = nll_num / nll_den if nll_den > 0 else 0.0
+        return {
+            "nll": nll,
+            "smape": smape,
+            "series_sums": ws_sums,
+            "series_cnts": ws_cnts,
+        }
+
+
+def batch_to_device(batch, floor=None) -> Dict[str, Any]:
+    """WindowBatch -> dict of jnp arrays (None-preserving)."""
+
+    out = {
+        "x": jnp.asarray(batch.x),
+        "y": jnp.asarray(batch.y),
+        "mask": jnp.asarray(batch.mask),
+        "row_valid": jnp.asarray(batch.row_valid),
+    }
+    out["x_mark"] = jnp.asarray(batch.x_mark) if batch.x_mark is not None else None
+    out["y_mark"] = jnp.asarray(batch.y_mark) if batch.y_mark is not None else None
+    out["static"] = jnp.asarray(batch.static) if batch.static is not None else None
+    out["ids"] = jnp.asarray(batch.series_ids) if batch.series_ids is not None else None
+    if floor is not None:
+        out["floor"] = jnp.asarray(floor)
+    return out

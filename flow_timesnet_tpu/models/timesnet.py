@@ -317,8 +317,16 @@ class TimesNet(nn.Module):
         )
         sigma_sp = softplus20(sigma.astype(jnp.float32)).astype(sigma.dtype)
         if dispersion_floor is not None:
+            # Accepts a scalar, an [N] / [1,1,N] per-series vector, or a
+            # per-sample [B,1,1] floor (gathered by series id upstream). The
+            # reference stores a [1,1,N] buffer but silently truncates it to
+            # width 1 whenever c_in == 1 (timesnet.py:1777-1784), losing the
+            # per-series floors in the per-series-sample pipeline; gathering
+            # per sample applies them as intended.
             floor = jnp.asarray(dispersion_floor, sigma_sp.dtype)
-            floor = jnp.broadcast_to(floor.reshape(1, 1, -1), sigma_sp.shape)
+            if floor.ndim == 1:
+                floor = floor.reshape(1, 1, -1)
+            floor = jnp.broadcast_to(floor, sigma_sp.shape)
         else:
             floor = jnp.full_like(sigma_sp, cfg.min_sigma)
         dispersion = sigma_sp + floor + 1e-6

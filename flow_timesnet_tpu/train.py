@@ -1,0 +1,593 @@
+"""Training pipeline: ``train_once(cfg) -> (best_nll, artifact_paths)``.
+
+Pipeline parity with the reference orchestrator
+(``/root/reference/src/timesnet_forecast/train.py:768-1675``): CSV -> schema
+-> pivot (validity mask = pre-fill NaNs) -> static features -> leak-free
+scaler fit -> holdout/rolling window batchers -> min-sigma calibration ->
+model -> AdamW + warmup/cosine epoch schedule -> early stopping on val NLL ->
+artifact save (checkpoint, scaler.pkl, schema.json, config_used.yaml,
+metadata.json, model_signature.json).
+
+TPU-native deltas: the whole step (forward+loss+backward+update) is one
+compiled program; evaluation streams masked reductions on device; AMP /
+GradScaler / CUDA-graphs / channels-last knobs are replaced by jit and the
+bf16 ``model.compute_dtype`` policy; dataloader workers are replaced by the
+vectorised window gather.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import pandas as pd
+
+from .config import PipelineConfig, save_yaml
+from .data.pivot import fit_series_scaler, pivot_long_to_wide, transform_dataframe
+from .data.schema import DataSchema
+from .data.split import make_holdout_slices, make_rolling_slices
+from .data.static_features import compute_series_features
+from .data.windows import WindowBatcher, build_batcher
+from .engine import Engine, batch_to_device
+from .models.timesnet import TimesNetConfig
+from .optim import LRController, resolve_warmup
+from .utils import artifacts as artifacts_io
+from .utils import metadata as metadata_utils
+from .utils.logging import console, print_config
+from .utils.metrics import wsmape_from_series_sums
+from .utils.seed import seed_everything
+
+
+def masked_std(
+    arrays: List[np.ndarray],
+    masks: List[Optional[np.ndarray]],
+    method: str = "global",
+) -> Tuple[float, Optional[np.ndarray]]:
+    """Std summary over masked [T, N] arrays.
+
+    ``global`` pools every valid point; ``per_series_median`` returns the
+    median of per-series stds plus the per-series vector (reference
+    ``train.py:447-566``).
+    """
+
+    if len(arrays) == 0:
+        return 0.0, None
+    method = method.lower()
+    if method == "global":
+        total = total_sq = 0.0
+        count = 0
+        for arr, mask in zip(arrays, masks):
+            if arr.size == 0:
+                continue
+            values = arr.reshape(-1) if mask is None else arr[np.asarray(mask) > 0.0]
+            if values.size == 0:
+                continue
+            v64 = values.astype(np.float64)
+            total += float(v64.sum())
+            total_sq += float(np.square(v64).sum())
+            count += int(values.size)
+        if count == 0:
+            return 0.0, None
+        mean = total / count
+        return float(math.sqrt(max(total_sq / count - mean * mean, 0.0))), None
+
+    if method == "per_series_median":
+        n_series: Optional[int] = None
+        s = ss = c = None
+        for arr, mask in zip(arrays, masks):
+            arr2d = np.asarray(arr)
+            if arr2d.ndim == 1:
+                arr2d = arr2d.reshape(-1, 1)
+            if arr2d.size == 0:
+                continue
+            if mask is None:
+                mb = np.ones(arr2d.shape, dtype=bool)
+            else:
+                mask_arr = np.asarray(mask)
+                if mask_arr.shape != arr2d.shape:
+                    raise ValueError(
+                        "Mask shape must match array shape for per-series std computation"
+                    )
+                mb = mask_arr > 0.0
+            if not np.any(mb):
+                continue
+            a64 = arr2d.astype(np.float64)
+            mf = mb.astype(np.float64)
+            if n_series is None:
+                n_series = arr2d.shape[1]
+                s = np.zeros(n_series)
+                ss = np.zeros(n_series)
+                c = np.zeros(n_series)
+            elif n_series != arr2d.shape[1]:
+                raise ValueError("All arrays must have the same number of series")
+            s += (a64 * mf).sum(axis=0)
+            ss += (np.square(a64) * mf).sum(axis=0)
+            c += mf.sum(axis=0)
+        if n_series is None:
+            return 0.0, None
+        per = np.zeros(n_series)
+        valid = c > 0
+        if not np.any(valid):
+            return 0.0, per
+        means = np.where(valid, s / np.maximum(c, 1.0), 0.0)
+        variances = np.where(valid, np.maximum(ss / np.maximum(c, 1.0) - means**2, 0.0), 0.0)
+        per = np.sqrt(variances)
+        per[~valid] = 0.0
+        stds = per[valid]
+        return float(np.median(stds)), per
+
+    raise ValueError(
+        f"Unsupported min_sigma_method '{method}'. Expected 'global' or 'per_series_median'."
+    )
+
+
+def _floor_for_batch(batch, sigma_vector: Optional[np.ndarray]):
+    """Per-sample dispersion floor gathered by series id."""
+
+    if sigma_vector is None:
+        return None
+    if batch.series_ids is None:
+        return None
+    gathered = sigma_vector[batch.series_ids.reshape(-1)]
+    return gathered.reshape(-1, 1, 1).astype(np.float32)
+
+
+def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
+    if isinstance(cfg, PipelineConfig):
+        pipeline_cfg = cfg
+    elif isinstance(cfg, dict):
+        pipeline_cfg = PipelineConfig.from_mapping(cfg)
+    else:
+        raise TypeError("cfg must be a PipelineConfig or mapping")
+    cfg = pipeline_cfg.to_dict()
+
+    window_cfg = pipeline_cfg.window
+    cfg.setdefault("window", {}).update(window_cfg.to_dict())
+    cfg.setdefault("model", {}).update(pipeline_cfg.model.to_dict(window_cfg))
+    artifacts_section = cfg.setdefault("artifacts", {})
+    artifacts_section.setdefault("signature_file", "model_signature.json")
+    artifacts_section.setdefault("metadata_file", "metadata.json")
+    train_section = cfg.setdefault("train", {})
+    train_section.setdefault("val", {})
+
+    deterministic = bool(cfg["train"].get("deterministic", False))
+    seed = int(cfg.get("tuning", {}).get("seed", 2025))
+    root_key = seed_everything(seed, deterministic=deterministic)
+    console().print(f"[bold green]Devices:[/bold green] {jax.devices()}")
+
+    # ------------------------------------------------------------------ data
+    data_cfg = cfg.setdefault("data", {})
+    time_feature_cfg = dict(data_cfg.get("time_features") or {})
+    time_feature_cfg.setdefault("enabled", False)
+    time_features_enabled = bool(time_feature_cfg.get("enabled", False))
+    data_cfg["time_features"] = time_feature_cfg
+
+    df = pd.read_csv(cfg["data"]["train_csv"], encoding=cfg["data"].get("encoding", "utf-8"))
+    schema = DataSchema.from_config(data_cfg, sample_df=df)
+    data_cfg.setdefault("schema", schema.as_dict())
+    wide_raw = pivot_long_to_wide(
+        df,
+        date_col=schema["date"],
+        id_col=schema["id"],
+        target_col=schema["target"],
+        fill_missing_dates=bool(cfg["data"].get("fill_missing_dates", True)),
+        fillna0=False,
+    )
+    mask_wide = (~wide_raw.isna()).astype(np.float32)
+    wide = wide_raw.fillna(0.0)
+    series_static_np, static_feature_names = compute_series_features(wide, mask_wide)
+    if cfg.get("preprocess", {}).get("clip_negative", False):
+        wide = wide.clip(lower=0.0)
+    ids = list(wide.columns)
+
+    # ------------------------------------------------- splits + scaler (leak-free)
+    preprocess = cfg.setdefault("preprocess", {})
+    norm_method = preprocess.get("normalize", "none")
+    norm_per_series = bool(preprocess.get("normalize_per_series", True))
+    eps = float(preprocess.get("eps", 1e-8))
+    val_cfg = cfg["train"]["val"]
+    strategy = val_cfg.get("strategy", "holdout")
+
+    train_arrays: List[np.ndarray] = []
+    val_arrays: List[np.ndarray] = []
+    train_mask_arrays: List[np.ndarray] = []
+    val_mask_arrays: List[np.ndarray] = []
+    train_time_indices: Optional[List[pd.DatetimeIndex]] = [] if time_features_enabled else None
+    val_time_indices: Optional[List[pd.DatetimeIndex]] = [] if time_features_enabled else None
+
+    if strategy == "holdout":
+        trn_df, val_df = make_holdout_slices(wide, int(val_cfg["holdout_days"]))
+        trn_mask_df, val_mask_df = make_holdout_slices(mask_wide, int(val_cfg["holdout_days"]))
+        if norm_method == "none":
+            scaler = None
+            trn_norm, val_norm = trn_df.copy(), val_df.copy()
+        else:
+            scaler, trn_norm = fit_series_scaler(trn_df, norm_method, norm_per_series, eps)
+            val_norm = transform_dataframe(val_df, ids, scaler, norm_method)
+        train_arrays = [trn_norm.to_numpy(dtype=np.float32)]
+        val_arrays = [val_norm.to_numpy(dtype=np.float32)]
+        train_mask_arrays = [trn_mask_df.to_numpy(dtype=np.float32)]
+        val_mask_arrays = [val_mask_df.to_numpy(dtype=np.float32)]
+        if time_features_enabled:
+            train_time_indices = [pd.DatetimeIndex(trn_norm.index)]
+            val_time_indices = [pd.DatetimeIndex(val_norm.index)]
+    else:
+        folds = int(val_cfg.get("rolling_folds") or 1)
+        step_days = int(val_cfg.get("rolling_step_days") or 1)
+        val_len = int(val_cfg["holdout_days"])
+        fold_iter = make_rolling_slices(wide, folds, step_days, val_len)
+        try:
+            first_tr, _ = next(fold_iter)
+        except StopIteration:
+            raise ValueError("No folds produced; check rolling validation configuration")
+        if norm_method == "none":
+            scaler = None
+            wide_norm = wide.copy()
+        else:
+            scaler, _ = fit_series_scaler(first_tr, norm_method, norm_per_series, eps)
+            wide_norm = transform_dataframe(wide, ids, scaler, norm_method)
+        for (tr_df, va_df), (tr_m, va_m) in zip(
+            make_rolling_slices(wide_norm, folds, step_days, val_len),
+            make_rolling_slices(mask_wide, folds, step_days, val_len),
+        ):
+            train_arrays.append(tr_df.to_numpy(dtype=np.float32))
+            val_arrays.append(va_df.to_numpy(dtype=np.float32))
+            train_mask_arrays.append(tr_m.to_numpy(dtype=np.float32))
+            val_mask_arrays.append(va_m.to_numpy(dtype=np.float32))
+            if time_features_enabled:
+                train_time_indices.append(pd.DatetimeIndex(tr_df.index))
+                val_time_indices.append(pd.DatetimeIndex(va_df.index))
+
+    # ------------------------------------------------------------ batchers
+    input_len = window_cfg.input_len
+    pred_len = window_cfg.pred_len
+    mode = cfg["model"]["mode"]
+    batch_size = int(cfg["train"]["batch_size"])
+    series_id_array = np.arange(len(ids), dtype=np.int64)
+    n_folds_t = len(train_arrays)
+    n_folds_v = len(val_arrays)
+    dl_train = build_batcher(
+        train_arrays,
+        train_mask_arrays,
+        input_len,
+        pred_len,
+        window_cfg.stride,
+        mode,
+        batch_size,
+        shuffle=True,
+        drop_last=True,
+        augment=cfg["data"].get("augment"),
+        series_static=[series_static_np] * n_folds_t,
+        series_ids=[series_id_array] * n_folds_t,
+        time_indices=train_time_indices,
+        time_feature_config=time_feature_cfg if time_features_enabled else None,
+        seed=seed,
+    )
+    dl_val = build_batcher(
+        val_arrays,
+        val_mask_arrays,
+        input_len,
+        pred_len,
+        window_cfg.stride,
+        mode,
+        batch_size,
+        shuffle=False,
+        drop_last=False,
+        recursive_pred_len=(pred_len if mode == "recursive" else None),
+        augment=None,
+        series_static=[series_static_np] * n_folds_v,
+        series_ids=[series_id_array] * n_folds_v,
+        time_indices=val_time_indices,
+        time_feature_config=time_feature_cfg if time_features_enabled else None,
+        seed=seed + 1,
+        pad_final=True,
+    )
+    if dl_val.total == 0:
+        raise ValueError(
+            "Validation split has no windows; increase train.val.holdout_days or "
+            "adjust model.input_len/pred_len."
+        )
+    time_feature_dim = dl_train.time_feature_dim
+    dataset_freq = dl_train.time_frequency
+    inferred_freq = dataset_freq
+    if inferred_freq is None and isinstance(wide.index, pd.DatetimeIndex):
+        inferred_freq = getattr(wide.index, "freqstr", None) or pd.infer_freq(wide.index)
+    cfg["data"]["time_features"]["feature_dim"] = int(time_feature_dim)
+    if inferred_freq is not None:
+        cfg["data"]["time_features"]["freq"] = inferred_freq
+    time_feature_meta = {
+        "enabled": bool(time_features_enabled and time_feature_dim > 0),
+        "feature_dim": int(time_feature_dim),
+        "config": dict(time_feature_cfg),
+        "freq": inferred_freq,
+    }
+
+    use_loss_masking = bool(cfg["train"].get("use_loss_masking", False))
+
+    # -------------------------------------------------- min-sigma calibration
+    min_sigma_method = str(cfg["train"].get("min_sigma_method", "global"))
+    target_std, per_series_std = masked_std(
+        train_arrays, train_mask_arrays, method=min_sigma_method
+    )
+    min_sigma_cfg_val = float(cfg["train"].get("min_sigma", 1e-3))
+    min_sigma_scale = float(cfg["train"].get("min_sigma_scale", 0.1))
+    scaled = target_std * min_sigma_scale if target_std > 0.0 else 0.0
+    min_sigma_scalar = max(min_sigma_cfg_val, scaled)
+    sigma_vector: Optional[np.ndarray] = None
+    if per_series_std is not None and per_series_std.size > 0:
+        sigma_vector = np.maximum(
+            np.asarray(per_series_std, np.float64) * min_sigma_scale, min_sigma_scalar
+        ).astype(np.float32)
+        cfg["train"]["min_sigma_vector"] = [float(v) for v in sigma_vector]
+    else:
+        cfg["train"].pop("min_sigma_vector", None)
+    cfg["train"]["min_sigma_effective"] = float(min_sigma_scalar)
+    console().print(
+        f"[bold green]min_sigma calibrated:[/bold green] {min_sigma_scalar:.6f} "
+        f"(target std={target_std:.6f}, scale={min_sigma_scale})"
+    )
+
+    # ------------------------------------------------------------------ model
+    model_cfg_raw = cfg["model"]
+    d_model = int(model_cfg_raw["d_model"])
+    d_ff = int(model_cfg_raw.get("d_ff", 4 * d_model))
+    model_cfg_raw["d_ff"] = d_ff
+    static_dim = int(series_static_np.shape[1]) if series_static_np.size else 0
+    tn_cfg = TimesNetConfig(
+        input_len=input_len,
+        pred_len=pred_len,
+        d_model=d_model,
+        d_ff=d_ff,
+        n_layers=int(model_cfg_raw["n_layers"]),
+        k_periods=int(model_cfg_raw["k_periods"]),
+        kernel_set=tuple(tuple(k) for k in pipeline_cfg.model.kernel_set),
+        dropout=float(model_cfg_raw["dropout"]),
+        activation=str(model_cfg_raw["activation"]),
+        mode=mode,
+        bottleneck_ratio=float(model_cfg_raw.get("bottleneck_ratio", 1.0)),
+        min_period_threshold=int(model_cfg_raw.get("min_period_threshold", 1)),
+        use_checkpoint=bool(cfg["train"].get("use_checkpoint", False)),
+        use_embedding_norm=bool(model_cfg_raw.get("use_embedding_norm", True)),
+        embed_norm_mode=model_cfg_raw.get("embed_norm_mode"),
+        min_sigma=float(min_sigma_scalar),
+        id_embed_dim=int(model_cfg_raw.get("id_embed_dim", 32)),
+        static_proj_dim=pipeline_cfg.model.static_proj_dim,
+        static_layernorm=bool(model_cfg_raw.get("static_layernorm", True)),
+        use_zero_mean_context=bool(model_cfg_raw.get("use_zero_mean_context", False)),
+        context_rank=max(0, int(model_cfg_raw.get("context_rank", 0))),
+        context_scale=float(model_cfg_raw.get("context_scale", 1e-2)),
+        use_constant_context_bias=bool(model_cfg_raw.get("use_constant_context_bias", False)),
+        use_late_bias_head=bool(model_cfg_raw.get("use_late_bias_head", True)),
+        c_in=1,
+        static_dim=static_dim,
+        time_features=int(time_feature_dim),
+        id_vocab=max(1, len(ids)),
+        period_max_unique=model_cfg_raw.get("period_max_unique"),
+        period_binning=model_cfg_raw.get("period_binning"),
+        compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
+    )
+
+    engine = Engine(
+        tn_cfg,
+        use_loss_masking=use_loss_masking,
+        accumulation_steps=int(cfg["train"].get("accumulation_steps", 1)),
+        grad_clip_norm=float(cfg["train"].get("grad_clip_norm", 0.0) or 0.0),
+        weight_decay=float(cfg["train"].get("weight_decay", 0.0)),
+        num_series=len(ids),
+    )
+
+    # init from the first train batch's shapes
+    init_iter = iter(dl_train)
+    try:
+        first_batch = next(init_iter)
+    except StopIteration:
+        raise ValueError("Training split has no windows")
+    init_dev = batch_to_device(first_batch, floor=_floor_for_batch(first_batch, sigma_vector))
+    state = engine.init_state(root_key, init_dev)
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(state.params))
+    console().print(f"[bold]Parameters:[/bold] {n_params:,}")
+
+    # ------------------------------------------------------------ lr schedule
+    epochs = int(cfg["train"]["epochs"])
+    accum_steps = max(1, int(cfg["train"].get("accumulation_steps", 1)))
+    batches_per_epoch = len(dl_train)
+    updates_per_epoch = (
+        max(1, math.ceil(batches_per_epoch / accum_steps)) if batches_per_epoch > 0 else 1
+    )
+    warmup = resolve_warmup(
+        cfg["train"].get("lr_warmup_steps"),
+        cfg["train"].get("lr_warmup_epochs"),
+        updates_per_epoch,
+    )
+    lr_ctl = LRController(
+        base_lr=float(cfg["train"]["lr"]),
+        epochs=epochs,
+        sched_cfg=cfg["train"].get("lr_scheduler", {}),
+        warmup=warmup,
+    )
+    cfg["train"].update(lr_ctl.effective_summary())
+
+    print_config(
+        {"window": cfg.get("window"), "model": cfg.get("model"), "train": cfg.get("train")},
+        current_lr=lr_ctl.lr_for_epoch(1),
+    )
+
+    # ------------------------------------------------------------ train loop
+    best_nll = float("inf")
+    best_smape = float("inf")
+    best_params = None
+    best_epoch = 0
+    patience_limit = cfg["train"].get("early_stopping_patience")
+    patience = 0
+    dropout_key = jax.random.fold_in(root_key, 1)
+
+    def eval_batches():
+        for vb in dl_val:
+            yield batch_to_device(vb, floor=_floor_for_batch(vb, sigma_vector))
+
+    for ep in range(1, epochs + 1):
+        lr = lr_ctl.lr_for_epoch(ep)
+        losses: List[float] = []
+        mask_true_total = 0.0
+        mask_total = 0.0
+        t0 = time.perf_counter()
+        n_batches = 0
+        for i, batch in enumerate(dl_train):
+            rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
+            dev_batch = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
+            do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
+            state, loss, stats = engine.train_step(state, lr, rng, dev_batch, do_update)
+            losses.append(float(loss))
+            mask_true_total += float(stats["mask_true"])
+            mask_total += float(stats["mask_total"])
+            n_batches += 1
+        epoch_time = time.perf_counter() - t0
+        coverage = mask_true_total / mask_total if mask_total > 0 else 0.0
+        throughput = (n_batches * batch_size) / max(epoch_time, 1e-9)
+
+        metrics = engine.evaluate(state.params, eval_batches())
+        val_nll = float(metrics["nll"])
+        val_smape = float(metrics["smape"])
+        console().print(
+            f"[bold]Epoch {ep}[/bold] loss={np.mean(losses):.6f} val_nll={val_nll:.6f} "
+            f"val_smape={val_smape:.6f} lr={lr:.3e} mask_cov={coverage:.4f} "
+            f"windows/s={throughput:.1f}"
+        )
+        lr_ctl.observe(val_nll)
+        if val_nll < best_nll:
+            best_nll = val_nll
+            best_smape = val_smape
+            best_params = jax.device_get(state.params)
+            best_epoch = ep
+            patience = 0
+        else:
+            patience += 1
+            if patience_limit is not None and patience > int(patience_limit):
+                console().print(
+                    f"[yellow]Early stopping at epoch {ep}; best epoch was {best_epoch} "
+                    f"with val_nll={best_nll:.6f} (val_smape={best_smape:.6f})[/yellow]"
+                )
+                break
+
+    console().print(
+        f"[bold]Best epoch {best_epoch} with val_nll={best_nll:.6f} "
+        f"(val_smape={best_smape:.6f})[/bold]"
+    )
+    if best_params is None:
+        best_params = jax.device_get(state.params)
+
+    # --------------------------------------------------------------- artifacts
+    art_dir = cfg["artifacts"].get("dir", "outputs/artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    model_file = cfg["artifacts"].get("model_file", "timesnet.msgpack")
+    model_path = os.path.join(art_dir, model_file)
+    aux: Dict[str, Any] = {"min_sigma_effective": np.float32(min_sigma_scalar)}
+    if sigma_vector is not None:
+        aux["min_sigma_vector"] = sigma_vector.reshape(1, 1, -1)
+    artifacts_io.save_checkpoint(model_path, best_params, aux)
+
+    scaler_path = os.path.join(art_dir, cfg["artifacts"].get("scaler_file", "scaler.pkl"))
+    schema_path = os.path.join(art_dir, cfg["artifacts"].get("schema_file", "schema.json"))
+    cfg_path = os.path.join(art_dir, cfg["artifacts"].get("config_file", "config_used.yaml"))
+    signature_path = os.path.join(art_dir, cfg["artifacts"]["signature_file"])
+    metadata_path = os.path.join(art_dir, cfg["artifacts"]["metadata_file"])
+    normalization_meta = {
+        "method": norm_method,
+        "per_series": norm_per_series,
+        "eps": eps,
+    }
+    artifacts_io.save_pickle(
+        {
+            "scaler": scaler,
+            "method": norm_method,
+            "ids": ids,
+            "static_features": series_static_np,
+            "feature_names": static_feature_names,
+            "time_features": time_feature_meta,
+        },
+        scaler_path,
+    )
+    artifacts_io.save_schema_artifact(
+        schema_path,
+        schema,
+        normalization=normalization_meta,
+        extras={"time_features": time_feature_meta},
+    )
+    save_yaml(cfg, cfg_path)
+    static_feature_dim = static_dim
+    metadata_artifact = metadata_utils.MetadataArtifact.from_training(
+        window=window_cfg,
+        schema=schema,
+        time_features=time_feature_meta,
+        static_features={
+            "feature_names": list(static_feature_names or []),
+            "feature_dim": static_feature_dim,
+        },
+    )
+    metadata_utils.save_metadata_artifact(metadata_artifact, metadata_path)
+
+    signature_payload = {
+        "signature_version": 1,
+        "window": window_cfg.to_dict(),
+        "model": {
+            "mode": str(cfg["model"]["mode"]),
+            "d_model": int(cfg["model"]["d_model"]),
+            "d_ff": int(cfg["model"]["d_ff"]),
+            "n_layers": int(cfg["model"]["n_layers"]),
+            "k_periods": int(cfg["model"]["k_periods"]),
+            "min_period_threshold": int(cfg["model"].get("min_period_threshold", 1)),
+            "id_embed_dim": int(cfg["model"].get("id_embed_dim", 32)),
+            "static_proj_dim": pipeline_cfg.model.static_proj_dim,
+        },
+        "train": {
+            "batch_size": batch_size,
+            "channels_last": bool(cfg["train"].get("channels_last", False)),
+            "use_checkpoint": bool(cfg["train"].get("use_checkpoint", False)),
+            "min_sigma_effective": float(min_sigma_scalar),
+            "min_sigma_method": min_sigma_method,
+            "min_sigma_scale": float(min_sigma_scale),
+        },
+        "data": {
+            "num_series": len(ids),
+            "static_feature_dim": static_feature_dim,
+            "time_feature_dim": int(time_feature_dim),
+            "time_features_enabled": bool(time_features_enabled and time_feature_dim > 0),
+            "time_feature_freq": inferred_freq,
+        },
+        "preprocess": {
+            **normalization_meta,
+            "schema_artifact_version": artifacts_io.SCHEMA_ARTIFACT_VERSION,
+        },
+    }
+    metadata_utils.save_json(signature_payload, signature_path)
+    console().print(
+        f"[green]Saved:[/green] {model_path}, {scaler_path}, {schema_path}, {cfg_path}, "
+        f"{signature_path}, {metadata_path}"
+    )
+    return best_nll, {
+        "model": model_path,
+        "scaler": scaler_path,
+        "schema": schema_path,
+        "config": cfg_path,
+        "metrics": {"nll": best_nll, "smape": best_smape},
+    }
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Train a TPU-native TimesNet forecaster.")
+    parser.add_argument("--config", type=str, default="configs/default.yaml")
+    parser.add_argument("--override", nargs="*", default=[])
+    args = parser.parse_args()
+    cfg = PipelineConfig.from_files(args.config, overrides=args.override)
+    best_nll, paths = train_once(cfg)
+    console().print(f"[bold magenta]Final best NLL: {best_nll:.6f}[/bold magenta]")
+
+
+if __name__ == "__main__":
+    main()
