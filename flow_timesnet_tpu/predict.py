@@ -1,0 +1,660 @@
+"""Inference pipeline: ``predict_once(cfg) -> submission_path``.
+
+Behavioural parity with the reference
+(``/root/reference/src/timesnet_forecast/predict.py``): merges the runtime
+config over the stored ``config_used.yaml``; validates metadata / signature /
+schema / normalization artifacts; rebuilds the model from the checkpoint
+(with zero-row embedding expansion for unseen vocab growth); prepares
+per-TEST-file batches (drop unseen series, reindex to training ids, future
+date index + row keys); forecasts direct or recursive (``lax.scan``); inverse
+transforms, clips at zero and renders the configured submission format.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from glob import glob
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from pandas.tseries.frequencies import to_offset
+
+from .config import PipelineConfig
+from .data.pivot import inverse_transform, pivot_long_to_wide, transform_array
+from .data.time_features import build_time_features
+from .engine import Engine
+from .models.timesnet import TimesNetConfig
+from .utils import artifacts as artifacts_io
+from .utils import metadata as metadata_utils
+from .utils.logging import console
+from .utils.submission import (
+    SubmissionRowMeta,
+    build_submission_context,
+    get_submission_writer,
+    merge_forecasts,
+)
+
+
+@dataclass
+class TestBatch:
+    path: str
+    name: str
+    wide: pd.DataFrame
+    present_columns: List[str]
+    gather_positions: List[int]
+    history_index: pd.DatetimeIndex
+    future_dates: pd.DatetimeIndex
+    all_row_keys: List[str]
+    pred_row_keys: List[str]
+    missing_ids: List[str]
+
+
+def _resolve_test_paths(data_cfg: Mapping[str, Any]) -> List[str]:
+    """Resolve test CSVs from test_glob / test_files / test_path / test_dir."""
+
+    patterns: List[str] = []
+    if data_cfg.get("test_glob"):
+        raw = data_cfg["test_glob"]
+        patterns = [raw] if isinstance(raw, str) else [str(p) for p in raw]
+    elif data_cfg.get("test_files"):
+        raw = data_cfg["test_files"]
+        patterns = [raw] if isinstance(raw, str) else [str(p) for p in raw]
+    elif data_cfg.get("test_path"):
+        patterns = [str(data_cfg["test_path"])]
+    elif data_cfg.get("test_dir"):
+        patterns = [
+            os.path.join(str(data_cfg["test_dir"]), data_cfg.get("test_pattern", "TEST_*.csv"))
+        ]
+    resolved: List[str] = []
+    seen = set()
+    for pattern in patterns:
+        expanded = glob(pattern)
+        if not expanded and os.path.isdir(pattern):
+            expanded = glob(os.path.join(pattern, data_cfg.get("test_pattern", "TEST_*.csv")))
+        if not expanded:
+            expanded = [pattern]
+        for path in expanded:
+            full = os.path.abspath(path)
+            if full not in seen:
+                resolved.append(full)
+                seen.add(full)
+    return sorted(resolved)
+
+
+def _prepare_test_batches(
+    *,
+    data_cfg: Mapping[str, Any],
+    preprocess_cfg: Mapping[str, Any],
+    schema_obj,
+    ids: Sequence[str],
+    id_position_map: Mapping[str, int],
+    pred_len: int,
+) -> Tuple[
+    List[TestBatch],
+    Dict[str, SubmissionRowMeta],
+    List[str],
+    Dict[str, List[str]],
+    List[str],
+    List[str],
+    Dict[str, List[str]],
+]:
+    encoding = data_cfg.get("encoding", "utf-8")
+    fill_missing_dates = bool(data_cfg.get("fill_missing_dates", True))
+    horizon = int(data_cfg.get("horizon") or pred_len)
+    horizon_freq = data_cfg.get("horizon_freq")
+    clip_negative = bool(preprocess_cfg.get("clip_negative", False))
+
+    test_paths = _resolve_test_paths(data_cfg)
+    if not test_paths:
+        raise FileNotFoundError(
+            "No test files found; check data.test_dir, test_glob, or test_files configuration"
+        )
+
+    batches: List[TestBatch] = []
+    row_meta: Dict[str, SubmissionRowMeta] = {}
+    row_order: List[str] = []
+    test_parts: Dict[str, List[str]] = {}
+    missing_by_part: Dict[str, List[str]] = {}
+    new_ids: List[str] = []
+    union: set = set()
+
+    for path in test_paths:
+        df = pd.read_csv(path, encoding=encoding)
+        schema_obj.require_columns(df.columns, context=path)
+        wide_raw = pivot_long_to_wide(
+            df,
+            date_col=schema_obj["date"],
+            id_col=schema_obj["id"],
+            target_col=schema_obj["target"],
+            fill_missing_dates=fill_missing_dates,
+            fillna0=True,
+        )
+        if clip_negative:
+            wide_raw = wide_raw.clip(lower=0.0)
+        name = os.path.splitext(os.path.basename(path))[0]
+        present = list(wide_raw.columns)
+        union.update(present)
+        unknown = [c for c in present if c not in id_position_map]
+        if unknown:
+            console().print(
+                f"[yellow]{name} contains {len(unknown)} series unseen during training; "
+                "values will be zero-filled.[/yellow]"
+            )
+            new_ids.extend([c for c in unknown if c not in new_ids])
+            wide_raw = wide_raw.drop(columns=unknown)
+            present = [c for c in present if c in id_position_map]
+        if not present:
+            raise ValueError(f"Test series '{path}' does not contain any known ids")
+        missing = [c for c in ids if c not in present]
+        if missing:
+            console().print(
+                f"[yellow]{name} missing {len(missing)} trained series; outputs will use "
+                "default fill values for those ids.[/yellow]"
+            )
+        wide = wide_raw.reindex(columns=list(ids)).fillna(0.0)
+        history_index = pd.DatetimeIndex(wide.index)
+        if history_index.empty:
+            raise ValueError(f"Test series '{path}' does not contain any historical rows")
+
+        freq_str = horizon_freq
+        if not freq_str:
+            try:
+                freq_str = pd.infer_freq(history_index)
+            except ValueError:
+                freq_str = None
+        if not freq_str:
+            freq_str = "D"
+            console().print(
+                f"[yellow]Failed to infer frequency for {name}; defaulting to daily "
+                "horizon increments.[/yellow]"
+            )
+        try:
+            offset = to_offset(freq_str)
+        except (ValueError, TypeError) as err:
+            console().print(
+                f"[yellow]Invalid horizon frequency '{freq_str}' for {name} ({err}); "
+                "falling back to daily steps.[/yellow]"
+            )
+            offset = to_offset("D")
+        future_index = pd.date_range(history_index[-1] + offset, periods=horizon, freq=offset)
+        row_keys = [f"{name}+D{i}" for i in range(1, horizon + 1)]
+        row_order.extend(row_keys)
+        test_parts[name] = row_keys
+        missing_by_part[name] = missing
+        for step, (row_key, date_val) in enumerate(zip(row_keys, future_index), start=1):
+            row_meta[row_key] = SubmissionRowMeta(
+                test_part=name, step=step, date=date_val, source=path
+            )
+        batches.append(
+            TestBatch(
+                path=path,
+                name=name,
+                wide=wide,
+                present_columns=present,
+                gather_positions=[id_position_map[c] for c in present],
+                history_index=history_index,
+                future_dates=future_index,
+                all_row_keys=row_keys,
+                pred_row_keys=row_keys[:pred_len],
+                missing_ids=missing,
+            )
+        )
+    return batches, row_meta, row_order, test_parts, new_ids, sorted(union), missing_by_part
+
+
+def _validate_signature(signature: Mapping[str, Any], cfg: PipelineConfig) -> None:
+    """Fail fast on window/model-hyperparameter drift vs the checkpoint."""
+
+    errors: List[str] = []
+    window_sig = signature.get("window")
+    if isinstance(window_sig, Mapping):
+        for key, current in (
+            ("input_len", cfg.window.input_len),
+            ("pred_len", cfg.window.pred_len),
+            ("stride", cfg.window.stride),
+        ):
+            sig_val = window_sig.get(key)
+            if sig_val is not None and int(sig_val) != current:
+                errors.append(
+                    f"Configured window.{key}={current} differs from checkpoint value {sig_val}"
+                )
+    model_sig = signature.get("model")
+    if isinstance(model_sig, Mapping):
+        for key in ("d_model", "d_ff", "n_layers", "k_periods", "min_period_threshold", "id_embed_dim"):
+            sig_val = model_sig.get(key)
+            if sig_val is None:
+                continue
+            current = getattr(cfg.model, key)
+            if int(sig_val) != int(current):
+                errors.append(
+                    f"Configured model.{key}={current} differs from checkpoint value {sig_val}"
+                )
+        if "static_proj_dim" in model_sig:
+            sig_proj = model_sig.get("static_proj_dim")
+            sig_proj_val = None if sig_proj in {None, "null"} else int(sig_proj)
+            if sig_proj_val != cfg.model.static_proj_dim:
+                errors.append(
+                    f"Configured model.static_proj_dim={cfg.model.static_proj_dim} differs "
+                    f"from checkpoint value {sig_proj_val}"
+                )
+        sig_mode = model_sig.get("mode")
+        if sig_mode is not None and str(sig_mode) != cfg.model.mode:
+            errors.append(
+                f"Configured model.mode={cfg.model.mode} differs from checkpoint value {sig_mode}"
+            )
+    if errors:
+        raise ValueError(
+            "Configuration incompatible with checkpoint metadata:\n"
+            + "\n".join(f"- {e}" for e in errors)
+        )
+
+
+def _expand_embedding(params: Dict[str, Any], required_vocab: int) -> int:
+    """Zero-expand the series embedding for ids beyond the trained vocab."""
+
+    emb = params.get("series_embedding", {}).get("embedding")
+    if emb is None:
+        return required_vocab
+    vocab, dim = np.asarray(emb).shape
+    if required_vocab > vocab:
+        grown = np.zeros((required_vocab, dim), np.float32)
+        grown[:vocab] = np.asarray(emb)
+        params["series_embedding"]["embedding"] = grown
+        return required_vocab
+    return vocab
+
+
+def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
+    if isinstance(cfg, PipelineConfig):
+        runtime_cfg = cfg
+    elif isinstance(cfg, dict):
+        runtime_cfg = PipelineConfig.from_mapping(cfg)
+    else:
+        raise TypeError("cfg must be a PipelineConfig or mapping")
+
+    runtime_dict = runtime_cfg.to_dict()
+    runtime_artifacts = runtime_dict.setdefault("artifacts", {})
+    runtime_artifacts.setdefault("signature_file", "model_signature.json")
+    runtime_artifacts.setdefault("metadata_file", "metadata.json")
+    art_dir = runtime_artifacts["dir"]
+
+    from .config import load_yaml
+
+    trained_cfg = PipelineConfig.from_mapping(
+        load_yaml(os.path.join(art_dir, runtime_artifacts.get("config_file", "config_used.yaml")))
+    )
+    merged = trained_cfg.to_dict()
+    merged.setdefault("artifacts", {}).update(runtime_artifacts)
+    for key, value in runtime_dict.items():
+        if key == "artifacts":
+            continue
+        if isinstance(value, dict):
+            merged.setdefault(key, {}).update(value)
+        else:
+            merged[key] = value
+    active_cfg = PipelineConfig.from_mapping(merged)
+    cfg_used = active_cfg.to_dict()
+
+    metadata_path = os.path.join(art_dir, cfg_used["artifacts"].get("metadata_file", "metadata.json"))
+    try:
+        metadata_artifact = metadata_utils.load_metadata_artifact(metadata_path)
+    except FileNotFoundError as err:
+        raise FileNotFoundError(
+            f"Metadata artifact '{metadata_path}' not found; run training to generate it."
+        ) from err
+    except ValueError as err:
+        raise ValueError(f"Failed to load metadata artifact '{metadata_path}': {err}") from err
+    metadata_artifact.validate_config(active_cfg)
+
+    signature_path = os.path.join(
+        art_dir, cfg_used["artifacts"].get("signature_file", "model_signature.json")
+    )
+    signature_meta: Optional[Mapping[str, Any]] = None
+    if os.path.exists(signature_path):
+        try:
+            signature_meta = metadata_utils.load_json(signature_path)
+        except Exception as err:  # noqa: BLE001
+            console().print(
+                f"[yellow]Failed to read signature metadata '{signature_path}': {err}. "
+                "Continuing without compatibility checks.[/yellow]"
+            )
+    else:
+        console().print(
+            f"[yellow]Signature metadata '{signature_path}' not found; compatibility "
+            "checks skipped.[/yellow]"
+        )
+    if signature_meta is not None:
+        _validate_signature(signature_meta, active_cfg)
+
+    scaler_meta = artifacts_io.load_pickle(
+        os.path.join(art_dir, cfg_used["artifacts"].get("scaler_file", "scaler.pkl"))
+    )
+    schema_obj, schema_meta = artifacts_io.load_schema_artifact(
+        os.path.join(art_dir, cfg_used["artifacts"].get("schema_file", "schema.json"))
+    )
+    schema_obj.validate_overrides(cfg_used.get("data", {}))
+    preprocess_cfg = cfg_used.setdefault("preprocess", {})
+    artifacts_io.validate_normalization_config(preprocess_cfg, schema_meta.get("normalization"))
+
+    ids: List[str] = list(scaler_meta["ids"])
+    metadata_artifact.validate_artifacts(
+        schema=schema_obj, scaler_meta=scaler_meta, num_series=len(ids)
+    )
+    method = scaler_meta["method"]
+    scaler = scaler_meta["scaler"]
+
+    time_feature_meta = scaler_meta.get("time_features") or {}
+    data_time_cfg = dict(cfg_used.get("data", {}).get("time_features") or {})
+    meta_config = dict(time_feature_meta.get("config") or data_time_cfg)
+    meta_enabled = bool(time_feature_meta.get("enabled", meta_config.get("enabled", False)))
+    meta_dim = int(time_feature_meta.get("feature_dim", meta_config.get("feature_dim", 0)) or 0)
+    meta_freq = time_feature_meta.get("freq") or meta_config.get("freq")
+    meta_config.setdefault("enabled", meta_enabled)
+    cfg_used.setdefault("data", {}).setdefault("time_features", {}).update(
+        {"feature_dim": meta_dim, "freq": meta_freq, "enabled": meta_enabled}
+    )
+    time_features_enabled = bool(meta_enabled and meta_dim > 0)
+
+    if signature_meta is not None and isinstance(signature_meta.get("data"), Mapping):
+        data_sig = signature_meta["data"]
+        if data_sig.get("num_series") is not None and int(data_sig["num_series"]) != len(ids):
+            raise ValueError(
+                f"Checkpoint expects {data_sig['num_series']} series but scaler metadata "
+                f"provides {len(ids)}"
+            )
+        if data_sig.get("time_feature_dim") is not None and int(
+            data_sig["time_feature_dim"]
+        ) != meta_dim:
+            raise ValueError("Time feature dimension does not match checkpoint metadata")
+        if data_sig.get("time_features_enabled") is not None and bool(
+            data_sig["time_features_enabled"]
+        ) != bool(time_features_enabled):
+            raise ValueError("Time feature enablement differs from checkpoint metadata")
+
+    # static features aligned to the trained id order (zero-fill missing)
+    static_features_np = scaler_meta.get("static_features")
+    static_feature_ids: Optional[List[str]] = list(ids)
+    static_full: Optional[np.ndarray] = None
+    if static_features_np is not None:
+        arr = np.asarray(static_features_np, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr.reshape(-1, 1)
+        if arr.ndim == 2:
+            base_ids = static_feature_ids or ids
+            limit = min(arr.shape[0], len(base_ids))
+            id_to_row = {base_ids[i]: i for i in range(limit)}
+            static_full = np.zeros((len(ids), arr.shape[1]), np.float32)
+            missing_static = []
+            for pos, sid in enumerate(ids):
+                row = id_to_row.get(sid)
+                if row is None:
+                    missing_static.append(sid)
+                else:
+                    static_full[pos] = arr[row]
+            if missing_static:
+                console().print(
+                    f"[yellow]Static features missing for {len(missing_static)} series; "
+                    "zero-filled values will be used.[/yellow]"
+                )
+    if signature_meta is not None and isinstance(signature_meta.get("data"), Mapping):
+        sig_static_dim = signature_meta["data"].get("static_feature_dim")
+        actual_dim = int(static_full.shape[1]) if static_full is not None else 0
+        if sig_static_dim is not None and int(sig_static_dim) != actual_dim:
+            raise ValueError(
+                f"Static feature dimension {actual_dim} does not match checkpoint "
+                f"metadata {sig_static_dim}"
+            )
+
+    # ------------------------------------------------------------------ model
+    window_cfg = active_cfg.window
+    input_len = window_cfg.input_len
+    pred_len = window_cfg.pred_len
+    model_cfg_raw = cfg_used["model"]
+    train_cfg = cfg_used["train"]
+    params, aux = artifacts_io.load_checkpoint(
+        os.path.join(art_dir, cfg_used["artifacts"].get("model_file", "timesnet.msgpack"))
+    )
+    sigma_vector = aux.get("min_sigma_vector")
+    if sigma_vector is not None:
+        sigma_vector = np.asarray(sigma_vector, np.float32).reshape(-1)
+    min_sigma_scalar = float(
+        aux.get("min_sigma_effective", train_cfg.get("min_sigma_effective", 1e-3))
+    )
+
+    id_vocab = _expand_embedding(params, len(ids))
+    static_dim = int(static_full.shape[1]) if static_full is not None else 0
+    tn_cfg = TimesNetConfig(
+        input_len=input_len,
+        pred_len=pred_len,
+        d_model=int(model_cfg_raw["d_model"]),
+        d_ff=int(model_cfg_raw.get("d_ff", 4 * int(model_cfg_raw["d_model"]))),
+        n_layers=int(model_cfg_raw["n_layers"]),
+        k_periods=int(model_cfg_raw["k_periods"]),
+        kernel_set=tuple(tuple(k) for k in active_cfg.model.kernel_set),
+        dropout=float(model_cfg_raw["dropout"]),
+        activation=str(model_cfg_raw["activation"]),
+        mode=str(model_cfg_raw["mode"]),
+        bottleneck_ratio=float(model_cfg_raw.get("bottleneck_ratio", 1.0)),
+        min_period_threshold=int(model_cfg_raw.get("min_period_threshold", 1)),
+        use_checkpoint=False,
+        use_embedding_norm=bool(model_cfg_raw.get("use_embedding_norm", True)),
+        embed_norm_mode=model_cfg_raw.get("embed_norm_mode"),
+        min_sigma=min_sigma_scalar,
+        id_embed_dim=int(model_cfg_raw.get("id_embed_dim", 32)),
+        static_proj_dim=active_cfg.model.static_proj_dim,
+        static_layernorm=bool(model_cfg_raw.get("static_layernorm", True)),
+        use_zero_mean_context=bool(model_cfg_raw.get("use_zero_mean_context", False)),
+        context_rank=max(0, int(model_cfg_raw.get("context_rank", 0))),
+        context_scale=float(model_cfg_raw.get("context_scale", 1e-2)),
+        use_constant_context_bias=bool(model_cfg_raw.get("use_constant_context_bias", False)),
+        use_late_bias_head=bool(model_cfg_raw.get("use_late_bias_head", True)),
+        c_in=1,
+        static_dim=static_dim,
+        time_features=meta_dim if time_features_enabled else 0,
+        id_vocab=id_vocab,
+        period_max_unique=model_cfg_raw.get("period_max_unique"),
+        period_binning=model_cfg_raw.get("period_binning"),
+        compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
+    )
+    engine = Engine(tn_cfg, num_series=len(ids))
+
+    id_position_map = {sid: i for i, sid in enumerate(ids)}
+    (
+        test_batches,
+        row_meta,
+        row_order,
+        test_parts,
+        new_ids,
+        test_ids_union,
+        missing_by_part,
+    ) = _prepare_test_batches(
+        data_cfg=cfg_used.setdefault("data", {}),
+        preprocess_cfg=preprocess_cfg,
+        schema_obj=schema_obj,
+        ids=ids,
+        id_position_map=id_position_map,
+        pred_len=pred_len,
+    )
+
+    encoding = cfg_used["data"].get("encoding", "utf-8")
+    sample_df: Optional[pd.DataFrame] = None
+    sample_path = cfg_used["data"].get("sample_submission")
+    if sample_path:
+        try:
+            sample_df = pd.read_csv(sample_path, encoding=encoding)
+        except (FileNotFoundError, OSError) as err:
+            console().print(
+                f"[yellow]Sample submission not readable at {sample_path} ({err}); a "
+                "template will be synthesized from test inputs.[/yellow]"
+            )
+
+    missing_global = sorted(set(ids) - set(test_ids_union))
+    new_ids_sorted = sorted(set(new_ids))
+
+    pred_list: List[pd.DataFrame] = []
+    for batch in test_batches:
+        X = batch.wide.values.astype(np.float32)
+        Xn = transform_array(X, ids, scaler, method) if method != "none" and scaler else X
+
+        disable_marks = False
+        if Xn.shape[0] < input_len:
+            missing_rows = input_len - Xn.shape[0]
+            strategy = window_cfg.short_series_strategy
+            if strategy == "repeat":
+                pad_source = Xn[:1] if Xn.size else np.zeros((1, Xn.shape[1]), np.float32)
+                Xn = np.concatenate([np.repeat(pad_source, missing_rows, axis=0), Xn], axis=0)
+                disable_marks = True
+                console().print(
+                    f"[yellow]{batch.name} shorter than input_len={input_len}; repeating "
+                    "earliest observations to fill the window.[/yellow]"
+                )
+            elif strategy == "pad":
+                pad_block = np.full(
+                    (missing_rows, Xn.shape[1]), window_cfg.pad_value, np.float32
+                )
+                Xn = np.concatenate([pad_block, Xn], axis=0)
+                disable_marks = True
+                console().print(
+                    f"[yellow]{batch.name} shorter than input_len={input_len}; padding "
+                    f"leading values with {window_cfg.pad_value}.[/yellow]"
+                )
+            else:
+                raise ValueError(
+                    f"Test series '{batch.path}' shorter than required input_len={input_len} "
+                    "and window.short_series_strategy='error'"
+                )
+
+        gather = np.asarray(batch.gather_positions, dtype=np.int64)
+        # one model row per present series: [num_series, input_len, 1]
+        xb = np.transpose(Xn[-input_len:, :][:, gather], (1, 0))[:, :, None]
+        num_series = xb.shape[0]
+        if num_series == 0:
+            raise ValueError(f"Test series '{batch.path}' does not contain any matching ids")
+
+        x_mark = y_mark = None
+        if time_features_enabled and not disable_marks:
+            recent_index = batch.history_index[-input_len:]
+            active_tf = dict(meta_config)
+            active_tf["enabled"] = True
+            freq_str = meta_freq or cfg_used.get("data", {}).get("time_features", {}).get("freq")
+            if freq_str is None:
+                freq_str = pd.infer_freq(batch.history_index)
+            if freq_str is None:
+                console().print(
+                    "[yellow]Unable to infer frequency for time features during prediction; "
+                    "temporal marks disabled for this batch.[/yellow]"
+                )
+            else:
+                try:
+                    to_offset(freq_str)
+                except (ValueError, TypeError) as err:
+                    console().print(
+                        f"[yellow]Invalid frequency '{freq_str}' for time features ({err}); "
+                        "disabling temporal marks for this batch.[/yellow]"
+                    )
+                else:
+                    combined = recent_index.append(batch.future_dates[:pred_len])
+                    marks = build_time_features(combined, active_tf)
+                    if marks.shape[1] != meta_dim:
+                        console().print(
+                            "[yellow]Time feature dimension mismatch during prediction; "
+                            "temporal marks disabled for this batch.[/yellow]"
+                        )
+                    else:
+                        x_mark = np.broadcast_to(
+                            marks[:input_len][None], (num_series, input_len, meta_dim)
+                        ).copy()
+                        y_mark = np.broadcast_to(
+                            marks[input_len:][None], (num_series, pred_len, meta_dim)
+                        ).copy()
+        elif time_features_enabled and disable_marks:
+            console().print(
+                f"[yellow]Temporal marks disabled for {batch.name} because padded windows "
+                "may not align with calendar frequencies.[/yellow]"
+            )
+
+        static = static_full[gather][:, None, :] if static_full is not None else None
+        ids_arr = gather.reshape(-1, 1).astype(np.int32)
+        floor = (
+            sigma_vector[gather].reshape(-1, 1, 1) if sigma_vector is not None else None
+        )
+
+        kw = dict(
+            x_mark=jnp.asarray(x_mark) if x_mark is not None else None,
+            static=jnp.asarray(static) if static is not None else None,
+            ids=jnp.asarray(ids_arr),
+            floor=jnp.asarray(floor) if floor is not None else None,
+        )
+        if tn_cfg.mode == "direct":
+            rate_pred, _ = engine.forward(params, jnp.asarray(xb), **kw)
+        else:
+            rate_pred, _ = engine.rollout(
+                params,
+                jnp.asarray(xb),
+                pred_len,
+                y_mark=jnp.asarray(y_mark) if y_mark is not None else None,
+                **kw,
+            )
+
+        rate_np = np.asarray(rate_pred)[:, :, 0]  # [num_series, H]
+        effective_steps = len(batch.pred_row_keys)
+        Pn = np.zeros((effective_steps, len(ids)), np.float32)
+        Pn[:, gather] = rate_np[:, :effective_steps].T
+        P = inverse_transform(Pn, ids, scaler, method=method)
+        P = np.clip(P, 0.0, None)
+        pred_df = pd.DataFrame(P, columns=ids)
+        pred_df["row_key"] = batch.pred_row_keys[:effective_steps]
+        pred_list.append(pred_df.set_index("row_key"))
+
+    preds = merge_forecasts(pred_list)
+    submission_cfg = cfg_used.setdefault("submission", {})
+    context = build_submission_context(
+        predictions=preds,
+        sample_df=sample_df,
+        row_meta=row_meta,
+        row_order=row_order,
+        test_parts=test_parts,
+        ids=ids,
+        new_ids=new_ids_sorted,
+        missing_ids=missing_global,
+        missing_by_part=missing_by_part,
+        submission_cfg=submission_cfg,
+    )
+    writer_cls = get_submission_writer(submission_cfg.get("format", "date_menu"))
+    writer = writer_cls(
+        default_fill_value=context.default_fill_value,
+        missing_policy=submission_cfg.get("missing_policy"),
+    )
+    submission_df = writer.render(preds, context)
+
+    output_path = submission_cfg.get("output_path") or submission_cfg.get("out_path")
+    if not output_path:
+        raise ValueError(
+            "submission.output_path (or out_path) must be specified in the configuration"
+        )
+    out_dir = os.path.dirname(output_path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    submission_df.to_csv(output_path, index=False, encoding="utf-8-sig")
+    console().print(f"[bold green]Saved submission:[/bold green] {output_path}")
+    return output_path
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Run inference using stored artifacts with compatibility validation."
+    )
+    parser.add_argument("--config", type=str, default="configs/default.yaml")
+    parser.add_argument("--override", nargs="*", default=[])
+    args = parser.parse_args()
+    cfg = PipelineConfig.from_files(args.config, overrides=args.override)
+    predict_once(cfg)
+
+
+if __name__ == "__main__":
+    main()

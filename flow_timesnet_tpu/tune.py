@@ -1,0 +1,137 @@
+"""Hyper-parameter search around ``train_once``.
+
+Reference analogue: the Optuna TPE tuner in ``cli.py:56-96``. Optuna is used
+when importable; otherwise a built-in seeded random-search sampler covers the
+same search-space YAML schema (typed specs: int ranges with optional step,
+float ranges with optional ``log``, and ``categorical`` choices applied by
+dotted config path). Saves ``best_params.json`` and the normalised best
+config.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+from typing import Any, Dict, Mapping
+
+from .config import PipelineConfig, load_yaml, save_yaml
+from .train import train_once
+from .utils.logging import console
+from .utils.metadata import save_json
+
+try:  # pragma: no cover - environment dependent
+    import optuna  # type: ignore
+
+    HAS_OPTUNA = True
+except Exception:  # noqa: BLE001
+    optuna = None
+    HAS_OPTUNA = False
+
+
+def _set_dotted(cfg: Dict[str, Any], path: str, value: Any) -> None:
+    node = cfg
+    parts = path.split(".")
+    for part in parts[:-1]:
+        node = node.setdefault(part, {})
+    node[parts[-1]] = value
+
+
+def _sample_spec(rng: random.Random, spec: Mapping[str, Any]) -> Any:
+    kind = str(spec.get("type", "float"))
+    if kind == "categorical":
+        return rng.choice(list(spec["choices"]))
+    if kind == "int":
+        low, high = int(spec["low"]), int(spec["high"])
+        step = int(spec.get("step", 1))
+        n = (high - low) // step
+        return low + rng.randint(0, n) * step
+    low, high = float(spec["low"]), float(spec["high"])
+    if spec.get("log"):
+        return math.exp(rng.uniform(math.log(low), math.log(high)))
+    return rng.uniform(low, high)
+
+
+def _suggest_optuna(trial, path: str, spec: Mapping[str, Any]) -> Any:
+    kind = str(spec.get("type", "float"))
+    if kind == "categorical":
+        return trial.suggest_categorical(path, list(spec["choices"]))
+    if kind == "int":
+        return trial.suggest_int(
+            path, int(spec["low"]), int(spec["high"]), step=int(spec.get("step", 1))
+        )
+    return trial.suggest_float(
+        path, float(spec["low"]), float(spec["high"]), log=bool(spec.get("log", False))
+    )
+
+
+def tune(
+    base_cfg: PipelineConfig,
+    search_space_path: str,
+    n_trials: int | None = None,
+    out_dir: str | None = None,
+) -> Dict[str, Any]:
+    space: Dict[str, Mapping[str, Any]] = load_yaml(search_space_path) or {}
+    tuning_cfg = dict(base_cfg.raw.get("tuning") or {})
+    trials = int(n_trials or tuning_cfg.get("n_trials", 30))
+    seed = int(tuning_cfg.get("seed", 2025))
+    out_dir = out_dir or base_cfg.raw.get("artifacts", {}).get("dir", "outputs/artifacts")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run_with(params: Mapping[str, Any]) -> float:
+        cfg_dict = base_cfg.to_dict()
+        for path, value in params.items():
+            _set_dotted(cfg_dict, path, value)
+        trial_cfg = PipelineConfig.from_mapping(cfg_dict)
+        best_nll, _ = train_once(trial_cfg)
+        return float(best_nll)
+
+    results: Dict[str, Any]
+    if HAS_OPTUNA:
+        sampler_name = str(tuning_cfg.get("sampler", "tpe"))
+        sampler = optuna.samplers.TPESampler(
+            seed=seed, multivariate="multivariate" in sampler_name
+        )
+        pruner = (
+            optuna.pruners.MedianPruner()
+            if tuning_cfg.get("pruner", "median") == "median"
+            else optuna.pruners.NopPruner()
+        )
+        study = optuna.create_study(direction="minimize", sampler=sampler, pruner=pruner)
+
+        def objective(trial):
+            params = {path: _suggest_optuna(trial, path, spec) for path, spec in space.items()}
+            return run_with(params)
+
+        study.optimize(objective, n_trials=trials)
+        best_params = dict(study.best_params)
+        best_value = float(study.best_value)
+    else:
+        console().print(
+            "[yellow]optuna unavailable; using built-in seeded random search.[/yellow]"
+        )
+        rng = random.Random(seed)
+        best_params = {}
+        best_value = float("inf")
+        for i in range(trials):
+            params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
+            value = run_with(params)
+            console().print(f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]")
+            if value < best_value:
+                best_value = value
+                best_params = dict(params)
+
+    save_json({"best_value": best_value, "best_params": best_params},
+              os.path.join(out_dir, "best_params.json"))
+    best_cfg = base_cfg.to_dict()
+    for path, value in best_params.items():
+        _set_dotted(best_cfg, path, value)
+    save_yaml(
+        PipelineConfig.from_mapping(best_cfg).to_dict(),
+        os.path.join(out_dir, "best_config.yaml"),
+    )
+    console().print(
+        f"[bold green]Best trial:[/bold green] nll={best_value:.6f} params={best_params}"
+    )
+    return {"best_value": best_value, "best_params": best_params}
