@@ -150,6 +150,38 @@ class Engine:
         return self._rollout(params, x, x_mark, y_mark, static, ids, floor,
                              horizon=int(horizon))
 
+    # -- observability ---------------------------------------------------------
+
+    def collect_period_telemetry(self, params, batch) -> Dict[str, Any]:
+        """Run one deterministic forward capturing per-block period selections.
+
+        Returns {block_name: {periods, valid, group_count}} — the TPU-native
+        replacement for the reference's selector attribute logging
+        (train.py:283-317).
+        """
+
+        _, aux = self.model.apply(
+            {"params": params},
+            batch["x"],
+            batch.get("x_mark"),
+            batch.get("static"),
+            batch.get("ids"),
+            dispersion_floor=batch.get("floor"),
+            deterministic=True,
+            mutable=["intermediates"],
+        )
+        out: Dict[str, Any] = {}
+        inter = aux.get("intermediates", {})
+        for block_name, values in inter.items():
+            if not isinstance(values, dict) or "selected_periods" not in values:
+                continue
+            out[block_name] = {
+                "periods": np.asarray(values["selected_periods"][0]),
+                "valid": np.asarray(values["period_valid"][0]),
+                "group_count": int(np.asarray(values["group_count"][0])),
+            }
+        return out
+
     # -- training ---------------------------------------------------------------
 
     def _loss(self, params, batch, rng):

@@ -155,6 +155,12 @@ class TimesBlock(nn.Module):
             log_base=self.log_base,
             max_unique=self.max_unique,
         )
+        # Telemetry (replaces the reference's module-attribute counters,
+        # timesnet.py:714-720, 891-893): collected via
+        # ``apply(..., mutable=['intermediates'])`` when observability is on.
+        self.sow("intermediates", "selected_periods", grouped.periods)
+        self.sow("intermediates", "period_valid", grouped.valid)
+        self.sow("intermediates", "group_count", grouped.group_count)
         p_cap = min(int(self.p_cap), max(1, L - 1))
         geom = make_geometry(grouped.periods, L, p_cap)
 

@@ -125,6 +125,57 @@ def masked_std(
     )
 
 
+def periods_to_day_counts(periods: List[int], freq: Optional[str]) -> List[Optional[float]]:
+    """Convert period step counts to ~days using the pandas frequency."""
+
+    if not freq:
+        return [None for _ in periods]
+    try:
+        offset = pd.tseries.frequencies.to_offset(freq)
+    except (TypeError, ValueError):
+        return [None for _ in periods]
+    nanos: Optional[int] = None
+    try:
+        nanos = int(getattr(offset, "nanos"))
+    except (TypeError, AttributeError, ValueError):
+        delta = getattr(offset, "delta", None)
+        if delta is not None:
+            try:
+                nanos = int(pd.to_timedelta(delta).value)
+            except (TypeError, ValueError):
+                nanos = None
+    if not nanos:
+        return [None for _ in periods]
+    day_scale = nanos / pd.Timedelta(days=1).value
+    return [p * day_scale for p in periods]
+
+
+def _log_period_telemetry(telemetry: Dict[str, Any], freq: Optional[str], epoch: int) -> None:
+    all_periods = sorted(
+        {
+            int(p)
+            for info in telemetry.values()
+            for p, ok in zip(info["periods"], info["valid"])
+            if ok
+        }
+    )
+    if not all_periods:
+        return
+    days = periods_to_day_counts(all_periods, freq)
+    parts = []
+    for p, d in zip(all_periods, days):
+        if d is None:
+            parts.append(f"{p}")
+        elif abs(d - round(d)) < 1e-6:
+            parts.append(f"{p} (~{int(round(d))}d)")
+        else:
+            parts.append(f"{p} (~{d:.2f}d)")
+    groups = ", ".join(f"{k}:{v['group_count']}" for k, v in sorted(telemetry.items()))
+    console().print(
+        f"[cyan]Epoch {epoch}: selected periods {', '.join(parts)} (groups {groups})[/cyan]"
+    )
+
+
 def _floor_for_batch(batch, sigma_vector: Optional[np.ndarray]):
     """Per-sample dispersion floor gathered by series id."""
 
@@ -440,6 +491,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
             dev_batch = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
             do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
+            if i == 0 and not tn_cfg.use_checkpoint:
+                telemetry = engine.collect_period_telemetry(state.params, dev_batch)
+                _log_period_telemetry(telemetry, inferred_freq, ep)
             state, loss, stats = engine.train_step(state, lr, rng, dev_batch, do_update)
             losses.append(float(loss))
             mask_true_total += float(stats["mask_true"])

@@ -121,6 +121,8 @@ class RowKeyLongWriter(SubmissionWriter):
     def _fill(self, predictions: pd.DataFrame, context: SubmissionContext) -> pd.DataFrame:
         if context.sample_df is not None:
             df = context.sample_df.copy()
+            # sample templates often carry integer zeros; predictions are float
+            df[context.output_columns] = df[context.output_columns].astype(float)
         else:
             df = pd.DataFrame({context.row_key_column: list(context.row_order)})
             for column in context.output_columns:
