@@ -470,6 +470,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     # ------------------------------------------------------------ train loop
     best_nll = float("inf")
     best_smape = float("inf")
+    best_wsmape = float("inf")
     best_params = None
     best_epoch = 0
     patience_limit = cfg["train"].get("early_stopping_patience")
@@ -503,6 +504,10 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         coverage = mask_true_total / mask_total if mask_total > 0 else 0.0
         throughput = (n_batches * batch_size) / max(epoch_time, 1e-9)
 
+        if not np.isfinite(np.mean(losses)):
+            raise FloatingPointError(
+                f"Non-finite training loss at epoch {ep}; check data scaling and lr."
+            )
         metrics = engine.evaluate(state.params, eval_batches())
         val_nll = float(metrics["nll"])
         val_smape = float(metrics["smape"])
@@ -515,6 +520,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         if val_nll < best_nll:
             best_nll = val_nll
             best_smape = val_smape
+            best_wsmape = wsmape_from_series_sums(
+                metrics["series_sums"], metrics["series_cnts"], ids
+            )
             best_params = jax.device_get(state.params)
             best_epoch = ep
             patience = 0
@@ -529,7 +537,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
 
     console().print(
         f"[bold]Best epoch {best_epoch} with val_nll={best_nll:.6f} "
-        f"(val_smape={best_smape:.6f})[/bold]"
+        f"(val_smape={best_smape:.6f}, val_wsmape={best_wsmape:.6f})[/bold]"
     )
     if best_params is None:
         best_params = jax.device_get(state.params)
@@ -627,7 +635,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         "scaler": scaler_path,
         "schema": schema_path,
         "config": cfg_path,
-        "metrics": {"nll": best_nll, "smape": best_smape},
+        "metrics": {"nll": best_nll, "smape": best_smape, "wsmape": best_wsmape},
     }
 
 
