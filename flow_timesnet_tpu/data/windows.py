@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from .time_features import build_time_features
+from ..runtime.native import get_native_gather
 
 
 @dataclass
@@ -145,15 +146,26 @@ class SlidingWindowSource:
         if self.time_shift > 0 and rng is not None:
             delta = rng.integers(-self.time_shift, self.time_shift + 1, size=starts.shape)
             starts = np.clip(starts + delta, 0, self.T - self.L - self.H)
-        t_in = starts[:, None] + np.arange(self.L)[None, :]
-        t_out = (starts + self.L)[:, None] + np.arange(self.H)[None, :]
-        x = self.X[t_in, series_idx[:, None]][..., None].astype(np.float32)
+        native = get_native_gather()
+        if native is not None:
+            x, y, mask = native.gather_windows(
+                self.X, self.M, starts, series_idx, self.L, self.H
+            )
+            if self.marks is not None:
+                x_mark = native.gather_marks(self.marks, starts, self.L)
+                y_mark = native.gather_marks(self.marks, starts + self.L, self.H)
+            else:
+                x_mark = y_mark = None
+        else:
+            t_in = starts[:, None] + np.arange(self.L)[None, :]
+            t_out = (starts + self.L)[:, None] + np.arange(self.H)[None, :]
+            x = self.X[t_in, series_idx[:, None]][..., None].astype(np.float32)
+            y = self.X[t_out, series_idx[:, None]][..., None].astype(np.float32)
+            mask = self.M[t_out, series_idx[:, None]][..., None].astype(np.float32)
+            x_mark = self.marks[t_in] if self.marks is not None else None
+            y_mark = self.marks[t_out] if self.marks is not None else None
         if self.add_noise_std > 0 and rng is not None:
             x = x + rng.standard_normal(x.shape).astype(np.float32) * self.add_noise_std
-        y = self.X[t_out, series_idx[:, None]][..., None].astype(np.float32)
-        mask = self.M[t_out, series_idx[:, None]][..., None].astype(np.float32)
-        x_mark = self.marks[t_in] if self.marks is not None else None
-        y_mark = self.marks[t_out] if self.marks is not None else None
         static = self.static[series_idx][:, None, :] if self.static is not None else None
         ids = (
             self.series_ids[series_idx][:, None]
