@@ -1,0 +1,97 @@
+"""TimesBlock behaviours with controlled period selections.
+
+Mirrors the reference's fixed-selector seams (tests/test_times_block.py):
+shape preservation, analytic softmax weighting, and identity when no valid
+periods exist.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flow_timesnet_tpu.models.period import PeriodSelection
+from flow_timesnet_tpu.models.timesblock import TimesBlock
+
+
+def _selection(periods, amps, valid=None):
+    periods = jnp.asarray(periods, jnp.int32)
+    amps = jnp.asarray(amps, jnp.float32)
+    if valid is None:
+        valid = jnp.ones(periods.shape[0], bool)
+    return PeriodSelection(
+        periods=periods, amplitudes=amps, valid=valid,
+        freq_indices=jnp.ones_like(periods),
+    )
+
+
+def _block(**kw):
+    defaults = dict(
+        d_model=6, d_ff=8, kernel_set=((3, 3),), dropout=0.0,
+        activation="gelu", bottleneck_ratio=1.0, min_period=1,
+        max_period=64, p_cap=63,
+    )
+    defaults.update(kw)
+    return TimesBlock(**defaults)
+
+
+def test_preserves_shape_and_differentiable():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 6)).astype(np.float32)
+    block = _block()
+    sel = _selection([4, 8], [[1.0, 0.5], [0.3, 0.9]])
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x), sel)
+    out = block.apply(variables, jnp.asarray(x), sel)
+    assert out.shape == x.shape
+
+    def loss(v):
+        return jnp.sum(block.apply(v, jnp.asarray(x), sel) ** 2)
+
+    grads = jax.grad(loss)(variables)
+    total = sum(float(np.abs(np.asarray(g)).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+def test_identity_when_no_valid_periods():
+    x = np.random.default_rng(1).standard_normal((2, 12, 6)).astype(np.float32)
+    block = _block()
+    sel = _selection([5, 7], [[1.0, 1.0]], valid=jnp.zeros(2, bool))
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x), sel)
+    out = block.apply(variables, jnp.asarray(x), sel)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_softmax_weighting_of_candidate_residuals():
+    """With equal periods the combined delta equals the single-period delta
+    (weights sum to 1); amplitude shifts move the mix toward the dominant
+    candidate."""
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 12, 6)).astype(np.float32)
+    block = _block()
+
+    sel_a = _selection([4], [[1.0]])
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x), sel_a)
+    out_single = np.asarray(block.apply(variables, jnp.asarray(x), sel_a))
+
+    sel_dup = _selection([4, 4], [[5.0, -2.0]])
+    out_dup = np.asarray(block.apply(variables, jnp.asarray(x), sel_dup))
+    np.testing.assert_allclose(out_dup, out_single, rtol=1e-5, atol=1e-5)
+
+    # strongly weighted toward period 6: output approaches the pure-6 result
+    sel_b = _selection([6], [[1.0]])
+    out6 = np.asarray(block.apply(variables, jnp.asarray(x), sel_b))
+    sel_mix = _selection([4, 6], [[-30.0, 30.0]])
+    out_mix = np.asarray(block.apply(variables, jnp.asarray(x), sel_mix))
+    np.testing.assert_allclose(out_mix, out6, rtol=1e-4, atol=1e-4)
+
+
+def test_max_unique_cap_reduces_groups():
+    x = np.random.default_rng(3).standard_normal((1, 24, 6)).astype(np.float32)
+    sel = _selection([3, 5, 8, 12], [[0.5, 1.5, 1.0, 2.0]])
+    block_capped = _block(max_unique=2)
+    variables = block_capped.init(jax.random.PRNGKey(0), jnp.asarray(x), sel)
+    _, aux = block_capped.apply(
+        variables, jnp.asarray(x), sel, mutable=["intermediates"]
+    )
+    counts = aux["intermediates"]["group_count"][0]
+    assert int(counts) == 2
