@@ -35,6 +35,7 @@ from .data.windows import WindowBatcher, build_batcher
 from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
+from .parallel.mesh import make_mesh, replicate, shard_batch
 from .utils import artifacts as artifacts_io
 from .utils import metadata as metadata_utils
 from .utils.logging import console, print_config
@@ -439,6 +440,24 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         raise ValueError("Training split has no windows")
     init_dev = batch_to_device(first_batch, floor=_floor_for_batch(first_batch, sigma_vector))
     state = engine.init_state(root_key, init_dev)
+
+    # Data parallelism: batch-shard over all local devices when the batch
+    # divides evenly (params replicated; XLA inserts the gradient all-reduce).
+    n_devices = len(jax.devices())
+    mesh = None
+    if n_devices > 1 and batch_size % n_devices == 0:
+        mesh = make_mesh()
+        state = replicate(mesh, state)
+        console().print(
+            f"[bold green]Data parallel:[/bold green] batch {batch_size} sharded "
+            f"over {n_devices} devices"
+        )
+
+    def to_device(batch):
+        dev = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
+        if mesh is not None:
+            dev = shard_batch(mesh, dev)
+        return dev
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(state.params))
     console().print(f"[bold]Parameters:[/bold] {n_params:,}")
 
@@ -479,7 +498,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
 
     def eval_batches():
         for vb in dl_val:
-            yield batch_to_device(vb, floor=_floor_for_batch(vb, sigma_vector))
+            yield to_device(vb)
 
     for ep in range(1, epochs + 1):
         lr = lr_ctl.lr_for_epoch(ep)
@@ -490,7 +509,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         n_batches = 0
         for i, batch in enumerate(dl_train):
             rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
-            dev_batch = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
+            dev_batch = to_device(batch)
             do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
             if i == 0 and not tn_cfg.use_checkpoint:
                 telemetry = engine.collect_period_telemetry(state.params, dev_batch)

@@ -1,0 +1,85 @@
+"""Data-parallel training over the 8-device virtual mesh.
+
+Sharded and single-device training must agree (same loss trajectory within
+float tolerance) — the mesh only changes layout, not math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flow_timesnet_tpu.engine import Engine
+from flow_timesnet_tpu.models.timesnet import TimesNetConfig
+from flow_timesnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+@pytest.fixture
+def setup():
+    cfg = TimesNetConfig(
+        input_len=16, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", min_period_threshold=2,
+        c_in=1, id_vocab=8, id_embed_dim=4, static_dim=3, static_proj_dim=4,
+        time_features=2,
+    )
+    engine = Engine(cfg, use_loss_masking=True, grad_clip_norm=1.0, num_series=8)
+    rng = np.random.default_rng(0)
+    B = 32
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((B, 16, 1)).astype(np.float32) + 3),
+        "y": jnp.asarray(rng.poisson(3.0, (B, 4, 1)).astype(np.float32)),
+        "mask": jnp.ones((B, 4, 1)),
+        "x_mark": jnp.asarray(rng.standard_normal((B, 16, 2)).astype(np.float32)),
+        "y_mark": None,
+        "static": jnp.asarray(rng.standard_normal((B, 1, 3)).astype(np.float32)),
+        "ids": jnp.asarray(rng.integers(0, 8, (B, 1)).astype(np.int32)),
+        "row_valid": jnp.ones(B, jnp.float32),
+    }
+    return cfg, engine, batch
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_matches_single_device(setup):
+    cfg, engine, batch = setup
+    key = jax.random.PRNGKey(0)
+
+    losses_single = []
+    s_single = engine.init_state(key, batch)
+    for i in range(3):
+        s_single, loss, _ = engine.train_step(
+            s_single, 1e-3, jax.random.fold_in(key, i), batch, True
+        )
+        losses_single.append(float(loss))
+    final_single = jax.device_get(s_single.params)
+
+    mesh = make_mesh()
+    s_dp = replicate(mesh, engine.init_state(key, batch))
+    dp_batch = shard_batch(mesh, batch)
+    losses_dp = []
+    for i in range(3):
+        s_dp, loss, _ = engine.train_step(
+            s_dp, 1e-3, jax.random.fold_in(key, i), dp_batch, True
+        )
+        losses_dp.append(float(loss))
+    final_dp = jax.device_get(s_dp.params)
+
+    np.testing.assert_allclose(losses_dp, losses_single, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_dp), jax.tree_util.tree_leaves(final_single)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_eval_matches_single_device(setup):
+    cfg, engine, batch = setup
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    single = engine.evaluate(state.params, [batch])
+    mesh = make_mesh()
+    params_dp = replicate(mesh, state.params)
+    dp = engine.evaluate(params_dp, [shard_batch(mesh, batch)])
+    assert dp["nll"] == pytest.approx(single["nll"], rel=1e-5)
+    assert dp["smape"] == pytest.approx(single["smape"], rel=1e-5)
+    np.testing.assert_allclose(dp["series_sums"], single["series_sums"], rtol=1e-5)
