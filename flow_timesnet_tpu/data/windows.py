@@ -212,6 +212,7 @@ class WindowBatcher:
         self.shuffle = bool(shuffle)
         self.drop_last = bool(drop_last)
         self.pad_final = bool(pad_final)
+        self._seed = int(seed)
         self._rng = np.random.default_rng(seed)
         sizes = [len(s) for s in self.sources]
         self._offsets = np.cumsum([0] + sizes)
@@ -223,6 +224,15 @@ class WindowBatcher:
         if self.drop_last:
             return self.total // self.batch_size
         return (self.total + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling/augmentation as a pure function of (seed, epoch).
+
+        Makes the batch order independent of how many epochs were already
+        iterated — required for exact mid-training resume.
+        """
+
+        self._rng = np.random.default_rng([self._seed, int(epoch)])
 
     @property
     def time_feature_dim(self) -> int:

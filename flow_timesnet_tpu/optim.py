@@ -165,6 +165,19 @@ class LRController:
             return self.base_lr * self._warmup_factor(steps_taken)
         return self.base_lr
 
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "plateau_lr": self._plateau_lr,
+            "plateau_best": self._plateau_best,
+            "plateau_bad": self._plateau_bad,
+        }
+
+    def load_state_dict(self, state: Mapping[str, Any]) -> None:
+        self._plateau_lr = float(state.get("plateau_lr", self._plateau_lr))
+        best = state.get("plateau_best")
+        self._plateau_best = None if best is None else float(best)
+        self._plateau_bad = int(state.get("plateau_bad", 0))
+
     def effective_summary(self) -> Dict[str, Any]:
         return {
             "lr_warmup_steps_effective": self.warmup.steps,

@@ -418,8 +418,18 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         static_dim=static_dim,
         time_features=int(time_feature_dim),
         id_vocab=max(1, len(ids)),
-        period_max_unique=model_cfg_raw.get("period_max_unique"),
-        period_binning=model_cfg_raw.get("period_binning"),
+        # env vars kept for reference compatibility (TIMES_PERIOD_* knobs,
+        # reference timesnet.py:320-325); config values take precedence
+        period_max_unique=(
+            model_cfg_raw.get("period_max_unique")
+            if model_cfg_raw.get("period_max_unique") is not None
+            else os.environ.get("TIMES_PERIOD_MAX_UNIQ")
+        ),
+        period_binning=(
+            model_cfg_raw.get("period_binning")
+            if model_cfg_raw.get("period_binning") is not None
+            else os.environ.get("TIMES_PERIOD_BINNING")
+        ),
         compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
     )
 
@@ -496,11 +506,39 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     patience = 0
     dropout_key = jax.random.fold_in(root_key, 1)
 
+    # True mid-training resume (a capability the reference lacks — it keeps
+    # only best-epoch weights, SURVEY §5.4): optimizer moments, loop counters
+    # and the scheduler's plateau state all round-trip.
+    art_dir = cfg["artifacts"].get("dir", "outputs/artifacts")
+    model_path = os.path.join(art_dir, cfg["artifacts"].get("model_file", "timesnet.msgpack"))
+    resume_enabled = bool(cfg["train"].get("resume", False))
+    save_state_enabled = bool(cfg["train"].get("save_train_state", resume_enabled))
+    train_state_path = os.path.join(art_dir, "train_state.msgpack")
+    start_epoch = 1
+    if resume_enabled and os.path.exists(train_state_path):
+        state, resume_extra = artifacts_io.load_train_state(train_state_path, state)
+        if mesh is not None:
+            state = replicate(mesh, state)
+        start_epoch = int(resume_extra.get("epoch", 0)) + 1
+        best_nll = float(resume_extra.get("best_nll", best_nll))
+        best_smape = float(resume_extra.get("best_smape", best_smape))
+        best_wsmape = float(resume_extra.get("best_wsmape", best_wsmape))
+        best_epoch = int(resume_extra.get("best_epoch", 0))
+        patience = int(resume_extra.get("patience", 0))
+        lr_ctl.load_state_dict(resume_extra.get("lr_state", {}))
+        if os.path.exists(model_path) and np.isfinite(best_nll):
+            best_params, _ = artifacts_io.load_checkpoint(model_path)
+        console().print(
+            f"[bold green]Resumed from epoch {start_epoch - 1} "
+            f"(best_nll={best_nll:.6f} @ epoch {best_epoch})[/bold green]"
+        )
+
     def eval_batches():
         for vb in dl_val:
             yield to_device(vb)
 
-    for ep in range(1, epochs + 1):
+    for ep in range(start_epoch, epochs + 1):
+        dl_train.set_epoch(ep)
         lr = lr_ctl.lr_for_epoch(ep)
         losses: List[float] = []
         mask_true_total = 0.0
@@ -553,6 +591,31 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
                     f"with val_nll={best_nll:.6f} (val_smape={best_smape:.6f})[/yellow]"
                 )
                 break
+        if save_state_enabled:
+            if best_params is not None and best_epoch == ep:
+                artifacts_io.save_checkpoint(
+                    model_path,
+                    best_params,
+                    {"min_sigma_effective": np.float32(min_sigma_scalar)}
+                    | (
+                        {"min_sigma_vector": sigma_vector.reshape(1, 1, -1)}
+                        if sigma_vector is not None
+                        else {}
+                    ),
+                )
+            artifacts_io.save_train_state(
+                train_state_path,
+                jax.device_get(state),
+                {
+                    "epoch": ep,
+                    "best_nll": best_nll,
+                    "best_smape": best_smape,
+                    "best_wsmape": best_wsmape,
+                    "best_epoch": best_epoch,
+                    "patience": patience,
+                    "lr_state": lr_ctl.state_dict(),
+                },
+            )
 
     console().print(
         f"[bold]Best epoch {best_epoch} with val_nll={best_nll:.6f} "

@@ -74,6 +74,40 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# -- full training state (true resume: params + optimizer + loop counters) ---
+
+
+def save_train_state(path: str, state: Any, extra: Mapping[str, Any]) -> None:
+    """Persist a TrainState pytree plus host-side loop state for resume.
+
+    The reference has no mid-training resume (best-epoch weights only,
+    SURVEY §5.4); this artifact adds it: optimizer moments, accumulation
+    buffers and scheduler/early-stopping counters all round-trip.
+    """
+
+    payload = {
+        "version": CHECKPOINT_VERSION,
+        "state": serialization.to_state_dict(state),
+        "extra": dict(extra),
+    }
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(_to_numpy_tree(payload)))
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template_state: Any) -> Tuple[Any, Dict[str, Any]]:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if not isinstance(payload, dict) or "state" not in payload:
+        raise ValueError(f"Unrecognised train-state payload in {path}")
+    state = serialization.from_state_dict(template_state, payload["state"])
+    return state, dict(payload.get("extra") or {})
+
+
 # -- schema artifact ---------------------------------------------------------
 
 
