@@ -18,9 +18,20 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.fold import FoldGeometry, combine_residuals, make_geometry, pad_time, pointwise_conv, tap_conv
+from ..ops.fold import FoldGeometry, combine_residuals, make_geometry, pad_time, pointwise_conv
+from ..ops.fold import tap_conv as tap_conv_xla
 from .embedding import torch_bias_init, torch_kernel_init
 from .period import PeriodSelection, group_periods
+
+
+def resolve_tap_conv(use_pallas: bool):
+    """Select the fold-conv backend (Pallas kernel vs XLA tap formulation)."""
+
+    if use_pallas:
+        from ..ops.pallas_fold import tap_conv_pallas
+
+        return tap_conv_pallas
+    return tap_conv_xla
 
 
 def _activation(name: str):
@@ -37,10 +48,12 @@ class InceptionBranch(nn.Module):
     out_ch: int
     kernel_size: Tuple[int, int]
     bottleneck_ratio: float = 1.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: Array, geom: FoldGeometry) -> Array:
         kh, kw = self.kernel_size
+        tap_conv = resolve_tap_conv(self.use_pallas)
         if self.bottleneck_ratio <= 0:
             raise ValueError("bottleneck_ratio must be a positive value")
         if math.isclose(self.bottleneck_ratio, 1.0, rel_tol=1e-9, abs_tol=1e-9):
@@ -73,6 +86,7 @@ class InceptionBlock(nn.Module):
     dropout: float
     activation: str = "gelu"
     bottleneck_ratio: float = 1.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h: Array, geom: FoldGeometry, deterministic: bool = True) -> Array:
@@ -90,6 +104,7 @@ class InceptionBlock(nn.Module):
                 out_ch=self.out_ch,
                 kernel_size=(int(kh), int(kw)),
                 bottleneck_ratio=self.bottleneck_ratio,
+                use_pallas=self.use_pallas,
                 name=f"branch_{i}",
             )(h, geom)
             for i, (kh, kw) in enumerate(self.kernel_set)
@@ -128,6 +143,7 @@ class TimesBlock(nn.Module):
     log_base: Optional[float] = None
     max_unique: Optional[int] = None
     conv_dtype: str = "float32"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -175,6 +191,7 @@ class TimesBlock(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             bottleneck_ratio=self.bottleneck_ratio,
+            use_pallas=self.use_pallas,
             name="inception_in",
         )(h, geom, deterministic).astype(conv_dt)
         h = _activation(self.activation)(h)
@@ -185,6 +202,7 @@ class TimesBlock(nn.Module):
             dropout=self.dropout,
             activation=self.activation,
             bottleneck_ratio=self.bottleneck_ratio,
+            use_pallas=self.use_pallas,
             name="inception_out",
         )(h, geom, deterministic)
 

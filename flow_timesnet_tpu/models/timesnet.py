@@ -87,6 +87,7 @@ class TimesNetConfig:
     period_max_unique: object = None
     period_binning: object = None
     compute_dtype: str = "float32"
+    use_pallas: bool = False
 
     def __post_init__(self) -> None:
         if self.mode not in ("direct", "recursive"):
@@ -259,6 +260,7 @@ class TimesNet(nn.Module):
                 log_base=resolve_log_base(cfg.period_binning, i),
                 max_unique=resolve_max_unique(cfg.period_max_unique, i),
                 conv_dtype=cfg.compute_dtype,
+                use_pallas=cfg.use_pallas,
                 name=f"blocks_{i}",
             )
 

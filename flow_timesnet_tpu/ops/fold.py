@@ -50,9 +50,11 @@ def make_geometry(periods: Array, L: int, p_cap: int) -> FoldGeometry:
 
     ``p_cap`` is the static bound on periods (the selector clamps to
     ``min(pmax, L - 1)``), so ``Lp = L + p_cap`` covers every padded extent.
+    Periods are clamped into ``[1, p_cap]`` — the tap shift machinery relies
+    on this bound to keep every dynamic slice in range.
     """
 
-    p = jnp.maximum(periods.astype(jnp.int32), 1)
+    p = jnp.clip(periods.astype(jnp.int32), 1, max(1, int(p_cap)))
     pad = (-L) % p
     total = L + pad
     cycles = total // p

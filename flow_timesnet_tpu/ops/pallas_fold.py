@@ -1,0 +1,194 @@
+"""Pallas TPU kernel for the masked dilated-tap fold convolution.
+
+Fuses what the XLA path in :mod:`flow_timesnet_tpu.ops.fold` expresses as
+(pad -> K dynamic slices -> tap-stack materialisation -> one big matmul) into
+a single VMEM-resident kernel: per (candidate, batch-tile) grid cell, the
+padded sequence block is loaded once, every (dc, dj) tap is sliced out of
+VMEM with its fold-validity mask computed from iota, and partial MXU dots
+accumulate straight into the output block. The traced per-candidate period
+and cycle counts arrive via scalar prefetch, so the tap offsets are computed
+in SMEM before the body runs.
+
+Numerics are identical to :func:`flow_timesnet_tpu.ops.fold.tap_conv`
+(float32 accumulation); tests run the kernel in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fold import FoldGeometry
+
+
+def _pick_b_tile(B: int, lpad: int, cin: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
+    """Largest divisor of B whose h-block fits the VMEM budget."""
+
+    best = 1
+    for cand in range(1, B + 1):
+        if B % cand:
+            continue
+        if cand * lpad * cin * 4 <= budget_bytes:
+            best = cand
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "kw", "L", "Lp", "interpret", "b_tile")
+)
+def _tap_conv_pallas_impl(
+    h: Array,
+    periods: Array,
+    cycles: Array,
+    kernel: Array,
+    bias: Array,
+    *,
+    kh: int,
+    kw: int,
+    L: int,
+    Lp: int,
+    interpret: bool,
+    b_tile: int,
+) -> Array:
+    K, B, _, Cin = h.shape
+    Cout = kernel.shape[-1]
+    rh, rw = kh // 2, kw // 2
+    m = rh * (Lp - L)  # max |dc * p| given p <= p_cap = Lp - L
+    pad = m + rw
+    h_pad = jnp.pad(h, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    Lpad = Lp + 2 * pad
+    S = kh * kw
+    w = kernel.reshape(S, Cin, Cout).astype(jnp.float32)
+    b_vec = bias.reshape(1, Cout).astype(jnp.float32)
+
+    def kern(periods_ref, cycles_ref, h_ref, w_ref, b_ref, out_ref):
+        k = pl.program_id(0)
+        p = periods_ref[k]
+        cyc = cycles_ref[k]
+        t = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+        col = t % p
+        row = t // p
+        acc = jnp.zeros((b_tile * Lp, Cout), jnp.float32)
+        tap_idx = 0
+        for dc in range(-rh, rh + 1):
+            row_ok = ((row + dc) >= 0) & ((row + dc) < cyc)
+            for dj in range(-rw, rw + 1):
+                col_ok = ((col + dj) >= 0) & ((col + dj) < p)
+                mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
+                start = pad + dc * p + dj
+                tap = h_ref[0, :, pl.ds(start, Lp), :]  # [b_tile, Lp, Cin]
+                tap = tap.astype(jnp.float32) * mask[None, :, :]
+                acc += jax.lax.dot_general(
+                    tap.reshape(b_tile * Lp, Cin),
+                    w_ref[tap_idx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                tap_idx += 1
+        out_ref[0] = (acc + b_ref[0][None, :]).reshape(b_tile, Lp, Cout)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, B // b_tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, b_tile, Lpad, Cin),
+                lambda k, b, *refs: (k, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((S, Cin, Cout), lambda k, b, *refs: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cout), lambda k, b, *refs: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b_tile, Lp, Cout), lambda k, b, *refs: (k, b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    flops = 2 * K * B * Lp * S * Cin * Cout
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, B, Lp, Cout), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=h_pad.size * 4 + w.size * 4 + K * B * Lp * Cout * 4,
+            transcendentals=0,
+        ),
+    )(periods.astype(jnp.int32), cycles.astype(jnp.int32), h_pad, w, b_vec)
+
+
+# Differentiation: pallas_call has no automatic VJP, so the op carries a
+# custom one — forward through the fused kernel, backward through the XLA tap
+# formulation (whose gradients XLA derives and fuses itself).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _tap_conv_op(h, periods, cycles, kernel, bias, kh, kw, L, Lp, interpret, b_tile):
+    return _tap_conv_pallas_impl(
+        h, periods, cycles, kernel, bias,
+        kh=kh, kw=kw, L=L, Lp=Lp, interpret=interpret, b_tile=b_tile,
+    )
+
+
+def _tap_conv_fwd(h, periods, cycles, kernel, bias, kh, kw, L, Lp, interpret, b_tile):
+    out = _tap_conv_op(h, periods, cycles, kernel, bias, kh, kw, L, Lp, interpret, b_tile)
+    return out, (h, periods, kernel, bias)
+
+
+def _tap_conv_bwd(kh, kw, L, Lp, interpret, b_tile, residuals, g):
+    from .fold import make_geometry, tap_conv as tap_conv_xla
+
+    h, periods, kernel, bias = residuals
+    geom = make_geometry(periods, L, p_cap=Lp - L)
+
+    def ref(h_, kernel_, bias_):
+        return tap_conv_xla(h_, geom, kernel_, bias_, kh, kw)
+
+    _, vjp = jax.vjp(ref, h, kernel, bias)
+    dh, dkernel, dbias = vjp(g.astype(jnp.float32))
+    zero_i = np.zeros(periods.shape, dtype=jax.dtypes.float0)
+    return dh.astype(h.dtype), zero_i, zero_i, dkernel, dbias
+
+
+_tap_conv_op.defvjp(_tap_conv_fwd, _tap_conv_bwd)
+
+
+def tap_conv_pallas(
+    h: Array,
+    geom: FoldGeometry,
+    kernel: Array,
+    bias: Array,
+    kh: int,
+    kw: int,
+    interpret: Optional[bool] = None,
+    b_tile: Optional[int] = None,
+) -> Array:
+    """Drop-in replacement for :func:`ops.fold.tap_conv` backed by Pallas."""
+
+    K, B, Lp, Cin = h.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    rh, rw = kh // 2, kw // 2
+    pad = rh * (geom.Lp - geom.L) + rw
+    if b_tile is None:
+        b_tile = _pick_b_tile(B, Lp + 2 * pad, Cin)
+    return _tap_conv_op(
+        h,
+        geom.periods,
+        geom.cycles,
+        kernel,
+        bias,
+        kh,
+        kw,
+        geom.L,
+        geom.Lp,
+        bool(interpret),
+        int(b_tile),
+    )

@@ -34,7 +34,7 @@ def _oracle(x, period, kernel, bias):
 
 
 @pytest.mark.parametrize("kh,kw", [(3, 3), (5, 5), (3, 5), (7, 7), (1, 3)])
-@pytest.mark.parametrize("periods", [[7], [7, 5], [4, 13, 28]])
+@pytest.mark.parametrize("periods", [[7], [7, 5], [4, 13, 27]])
 def test_tap_conv_matches_fold_conv2d(kh, kw, periods):
     rng = np.random.default_rng(0)
     B, L, Cin, Cout = 2, 28, 3, 4
