@@ -53,15 +53,19 @@ def main() -> None:
         state, loss, _ = engine.train_step(state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True)
     jax.block_until_ready(state.params)
 
-    # best-of-N trials: the remote-relay dispatch adds run-to-run variance
-    steps = 30
+    # Scanned multi-step driver (one device program per chunk of steps);
+    # best-of-N trials because the remote-relay dispatch adds variance.
+    steps = 32
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (steps,) + x.shape), dev_batch
+    )
+    keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(steps)])
+    state, _, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)  # compile
+    jax.block_until_ready(state.params)
     windows_per_sec = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, loss, _ = engine.train_step(
-                state, 1e-4, jax.random.fold_in(rng, 100 + i), dev_batch, True
-            )
+        state, losses, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)
         jax.block_until_ready(state.params)
         elapsed = time.perf_counter() - t0
         windows_per_sec = max(windows_per_sec, steps * batch / elapsed)

@@ -234,6 +234,40 @@ class Engine:
     def train_step(self, state, lr, rng, batch, do_update: bool = True):
         return self._train_step(state, lr, rng, batch, do_update=bool(do_update))
 
+    def _train_scan_impl(self, state: TrainState, lr, rngs, batches):
+        """Run one optimizer step per stacked batch inside a single lax.scan.
+
+        ``batches`` is a batch dict whose arrays carry a leading steps axis;
+        ``rngs`` is [steps] PRNG keys. Fuses the whole chunk into one device
+        program — no per-step host dispatch (the TPU-native replacement for
+        the reference's CUDA-graph capture, train.py:1261-1439).
+        """
+
+        def body(carry, xs):
+            rng, batch = xs
+            (loss, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                carry.params, batch, rng
+            )
+            updates, opt_state = self.tx.update(grads, carry.opt_state, carry.params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, carry.params, updates)
+            return TrainState(params=params, opt_state=opt_state, grad_accum=None), (
+                loss,
+                stats["mask_true"],
+            )
+
+        final, (losses, mask_true) = jax.lax.scan(body, state, (rngs, batches))
+        return final, losses, mask_true
+
+    def train_steps_scanned(self, state, lr, rngs, stacked_batches):
+        """Compiled multi-step driver (only valid when accumulation_steps == 1)."""
+
+        if self.accum_steps != 1:
+            raise ValueError("scanned training requires accumulation_steps == 1")
+        if not hasattr(self, "_train_scan"):
+            self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
+        return self._train_scan(state, lr, rngs, stacked_batches)
+
     # -- evaluation ---------------------------------------------------------------
 
     def _eval_step_impl(self, params, batch):

@@ -537,6 +537,13 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         for vb in dl_val:
             yield to_device(vb)
 
+    # Optional multi-step fusion: chunks of `scan_steps` batches run as one
+    # lax.scan program (no per-step dispatch; the jit-era answer to the
+    # reference's CUDA-graph replay). Requires accumulation_steps == 1.
+    scan_steps = int(cfg["train"].get("scan_steps", 0) or 0)
+    if accum_steps != 1:
+        scan_steps = 0
+
     for ep in range(start_epoch, epochs + 1):
         dl_train.set_epoch(ep)
         lr = lr_ctl.lr_for_epoch(ep)
@@ -545,18 +552,52 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         mask_total = 0.0
         t0 = time.perf_counter()
         n_batches = 0
+        chunk: List[Any] = []
+        chunk_keys: List[Any] = []
+
+        def flush_chunk(state):
+            nonlocal mask_true_total, mask_total, n_batches
+            if not chunk:
+                return state
+            if len(chunk) == scan_steps:
+                stacked = jax.tree_util.tree_map(lambda *xs: jax.numpy.stack(xs), *chunk)
+                state, chunk_losses, mask_true = engine.train_steps_scanned(
+                    state, lr, jax.numpy.stack(chunk_keys), stacked
+                )
+                losses.extend(float(v) for v in np.asarray(chunk_losses))
+                mask_true_total += float(np.asarray(mask_true).sum())
+                mask_total += sum(float(np.prod(b["y"].shape)) for b in chunk)
+            else:  # tail chunk: fall back to per-step
+                for key, b in zip(chunk_keys, chunk):
+                    state, loss, stats = engine.train_step(state, lr, key, b, True)
+                    losses.append(float(loss))
+                    mask_true_total += float(stats["mask_true"])
+                    mask_total += float(stats["mask_total"])
+            n_batches += len(chunk)
+            chunk.clear()
+            chunk_keys.clear()
+            return state
+
         for i, batch in enumerate(dl_train):
             rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
             dev_batch = to_device(batch)
-            do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
             if i == 0 and not tn_cfg.use_checkpoint:
                 telemetry = engine.collect_period_telemetry(state.params, dev_batch)
                 _log_period_telemetry(telemetry, inferred_freq, ep)
+            if scan_steps > 1:
+                chunk.append(dev_batch)
+                chunk_keys.append(rng)
+                if len(chunk) == scan_steps:
+                    state = flush_chunk(state)
+                continue
+            do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
             state, loss, stats = engine.train_step(state, lr, rng, dev_batch, do_update)
             losses.append(float(loss))
             mask_true_total += float(stats["mask_true"])
             mask_total += float(stats["mask_total"])
             n_batches += 1
+        if scan_steps > 1:
+            state = flush_chunk(state)
         epoch_time = time.perf_counter() - t0
         coverage = mask_true_total / mask_total if mask_total > 0 else 0.0
         throughput = (n_batches * batch_size) / max(epoch_time, 1e-9)

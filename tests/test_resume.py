@@ -73,3 +73,16 @@ def test_resume_continues_from_saved_state(tmp_path):
 
     # identical data order (seeded) + restored optimizer state -> same result
     assert nll_resumed == pytest.approx(nll_full, rel=1e-4)
+
+
+def test_scan_steps_training_matches_per_step(tmp_path):
+    """train.scan_steps chunks must not change results (same seeds, lr, order)."""
+
+    train_csv = tmp_path / "train.csv"
+    _make_csv(train_csv)
+    cfg_loop = _cfg(tmp_path / "loop", train_csv, epochs=2)
+    nll_loop, _ = train_once(PipelineConfig.from_mapping(cfg_loop))
+    cfg_scan = _cfg(tmp_path / "scan", train_csv, epochs=2)
+    cfg_scan["train"]["scan_steps"] = 3
+    nll_scan, _ = train_once(PipelineConfig.from_mapping(cfg_scan))
+    assert nll_scan == pytest.approx(nll_loop, rel=1e-5)
