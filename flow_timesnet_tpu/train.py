@@ -544,7 +544,16 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     if accum_steps != 1:
         scan_steps = 0
 
+    # Optional on-device profiling: trace the first post-warmup epoch into
+    # ``train.profile_dir`` for xprof/tensorboard (replaces the reference's
+    # ad-hoc perf-counter logging, SURVEY §5.1).
+    profile_dir = cfg["train"].get("profile_dir")
+    profiling = False
+
     for ep in range(start_epoch, epochs + 1):
+        if profile_dir and ep == start_epoch + 1 and not profiling:
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
         dl_train.set_epoch(ep)
         lr = lr_ctl.lr_for_epoch(ep)
         losses: List[float] = []
@@ -614,6 +623,10 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             f"val_smape={val_smape:.6f} lr={lr:.3e} mask_cov={coverage:.4f} "
             f"windows/s={throughput:.1f}"
         )
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            console().print(f"[cyan]Profiler trace written to {profile_dir}[/cyan]")
         lr_ctl.observe(val_nll)
         if val_nll < best_nll:
             best_nll = val_nll
