@@ -66,7 +66,9 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         state, losses, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)
-        jax.block_until_ready(state.params)
+        # fetch a scalar VALUE (not just ready-state): forces true end-to-end
+        # completion even through relays whose block_until_ready acks early
+        _ = float(losses[-1])
         elapsed = time.perf_counter() - t0
         windows_per_sec = max(windows_per_sec, steps * batch / elapsed)
 

@@ -1,0 +1,74 @@
+"""Hyper-parameter search around train_once (random-search fallback path)."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+
+import flow_timesnet_tpu.tune as tune_mod
+from flow_timesnet_tpu.config import PipelineConfig, save_yaml
+
+
+def _make_csv(path, T=50, seed=0):
+    rng = np.random.default_rng(seed)
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(
+            np.round(4 + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)), 0
+        )
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+
+def test_random_search_tuner(tmp_path, monkeypatch):
+    monkeypatch.setattr(tune_mod, "HAS_OPTUNA", False)
+    train_csv = tmp_path / "train.csv"
+    _make_csv(train_csv)
+    search_space = tmp_path / "space.yaml"
+    save_yaml(
+        {
+            "model.d_model": {"low": 8, "high": 16, "step": 8, "type": "int"},
+            "train.lr": {"low": 1e-4, "high": 1e-2, "log": True, "type": "float"},
+            "train.batch_size": {"choices": [4, 8], "type": "categorical"},
+        },
+        str(search_space),
+    )
+    cfg = PipelineConfig.from_mapping(
+        {
+            "data": {
+                "train_csv": str(train_csv),
+                "date_col": "date",
+                "id_col": "id",
+                "target_col": "target",
+                "time_features": {"enabled": False},
+            },
+            "preprocess": {"normalize": "none", "clip_negative": True},
+            "window": {"input_len": 12, "pred_len": 4},
+            "model": {
+                "mode": "direct", "input_len": 12, "pred_len": 4, "d_model": 8,
+                "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+                "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+            },
+            "train": {
+                "device": "cpu", "epochs": 1, "batch_size": 4, "lr": 1e-3,
+                "lr_warmup_steps": 0,
+                "val": {"strategy": "holdout", "holdout_days": 18},
+            },
+            "artifacts": {"dir": str(tmp_path / "artifacts")},
+            "tuning": {"seed": 3, "n_trials": 2},
+        }
+    )
+    result = tune_mod.tune(cfg, str(search_space), n_trials=2, out_dir=str(tmp_path / "artifacts"))
+    assert np.isfinite(result["best_value"])
+    assert set(result["best_params"]) == {"model.d_model", "train.lr", "train.batch_size"}
+    with open(tmp_path / "artifacts" / "best_params.json") as f:
+        saved = json.load(f)
+    assert saved["best_params"] == result["best_params"]
+    assert os.path.exists(tmp_path / "artifacts" / "best_config.yaml")
+    # the saved best config must be loadable and carry the tuned values
+    best_cfg = PipelineConfig.from_files(str(tmp_path / "artifacts" / "best_config.yaml"))
+    assert best_cfg.model.d_model == result["best_params"]["model.d_model"]
