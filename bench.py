@@ -53,22 +53,19 @@ def main() -> None:
         state, loss, _ = engine.train_step(state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True)
     jax.block_until_ready(state.params)
 
-    # Scanned multi-step driver (one device program per chunk of steps);
-    # best-of-N trials because the remote-relay dispatch adds variance.
-    steps = 32
-    stacked = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (steps,) + x.shape), dev_batch
-    )
-    keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(steps)])
-    state, _, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)  # compile
-    jax.block_until_ready(state.params)
+    # Per-step driver, best-of-N trials. Each trial ends with a scalar VALUE
+    # fetch (not just ready-state) so the timing covers true end-to-end
+    # completion even through relays whose block_until_ready acks early.
+    steps = 20
     windows_per_sec = 0.0
-    for _ in range(3):
+    for trial in range(2):
         t0 = time.perf_counter()
-        state, losses, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)
-        # fetch a scalar VALUE (not just ready-state): forces true end-to-end
-        # completion even through relays whose block_until_ready acks early
-        _ = float(losses[-1])
+        loss = None
+        for i in range(steps):
+            state, loss, _ = engine.train_step(
+                state, 1e-4, jax.random.fold_in(rng, 100 + trial * steps + i), dev_batch, True
+            )
+        _ = float(loss)
         elapsed = time.perf_counter() - t0
         windows_per_sec = max(windows_per_sec, steps * batch / elapsed)
 

@@ -458,6 +458,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         period_max_unique=model_cfg_raw.get("period_max_unique"),
         period_binning=model_cfg_raw.get("period_binning"),
         compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
+        use_pallas=bool(model_cfg_raw.get("use_pallas", False)),
     )
     engine = Engine(tn_cfg, num_series=len(ids))
 

@@ -431,6 +431,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             else os.environ.get("TIMES_PERIOD_BINNING")
         ),
         compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
+        use_pallas=bool(model_cfg_raw.get("use_pallas", False)),
     )
 
     engine = Engine(
