@@ -53,21 +53,30 @@ def main() -> None:
         state, loss, _ = engine.train_step(state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True)
     jax.block_until_ready(state.params)
 
-    # Per-step driver, best-of-N trials. Each trial ends with a scalar VALUE
-    # fetch (not just ready-state) so the timing covers true end-to-end
-    # completion even through relays whose block_until_ready acks early.
-    steps = 20
-    windows_per_sec = 0.0
-    for trial in range(2):
+    # Differential timing: run n1 and n2 steps, each ended by a scalar VALUE
+    # fetch (true end-to-end completion even through relays whose
+    # block_until_ready acks early); the per-step time is the slope, which
+    # cancels the constant dispatch/fetch round-trip latency.
+    def timed_run(n_steps: int, tag: int) -> float:
+        nonlocal state
         t0 = time.perf_counter()
         loss = None
-        for i in range(steps):
+        for i in range(n_steps):
             state, loss, _ = engine.train_step(
-                state, 1e-4, jax.random.fold_in(rng, 100 + trial * steps + i), dev_batch, True
+                state, 1e-4, jax.random.fold_in(rng, tag * 1000 + i), dev_batch, True
             )
         _ = float(loss)
-        elapsed = time.perf_counter() - t0
-        windows_per_sec = max(windows_per_sec, steps * batch / elapsed)
+        return time.perf_counter() - t0
+
+    n1, n2 = 10, 60
+    timed_run(n1, 0)  # settle
+    best_step = float("inf")
+    for trial in range(2):
+        e1 = timed_run(n1, 1 + 2 * trial)
+        e2 = timed_run(n2, 2 + 2 * trial)
+        step_time = max((e2 - e1) / (n2 - n1), 1e-9)
+        best_step = min(best_step, step_time)
+    windows_per_sec = batch / best_step
 
     print(
         json.dumps(
