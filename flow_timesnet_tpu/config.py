@@ -512,7 +512,9 @@ class PipelineConfig:
         model = ModelConfig.from_mapping(base.get("model", {}))
         data = DataConfig.from_mapping(base.get("data", {}))
         train = TrainConfig.from_mapping(base.get("train", {}))
-        base.setdefault("data", {}).setdefault("time_features", data.time_features.to_dict())
+        # Always rewrite with the normalised dict (the reference does the
+        # same, config.py:406-410) so artifacts store canonical settings.
+        base.setdefault("data", {})["time_features"] = data.time_features.to_dict()
         instance = cls(raw=base, window=window, model=model, data=data, train=train)
         instance.validate()
         return instance

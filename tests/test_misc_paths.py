@@ -1,0 +1,160 @@
+"""Remaining path coverage: remat, short-history strategies, CLI, gaussian NLL."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from torch_ref import HAS_REFERENCE
+
+from flow_timesnet_tpu.cli import main as cli_main
+from flow_timesnet_tpu.config import PipelineConfig, save_yaml
+from flow_timesnet_tpu.engine import Engine
+from flow_timesnet_tpu.losses import gaussian_nll_loss
+from flow_timesnet_tpu.models.timesnet import TimesNetConfig
+from flow_timesnet_tpu.predict import predict_once
+from flow_timesnet_tpu.train import train_once
+
+
+def test_activation_checkpoint_matches_plain():
+    """use_checkpoint (jax.checkpoint/remat) must not change values or grads."""
+
+    common = dict(
+        input_len=16, pred_len=4, d_model=8, d_ff=16, n_layers=2, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", min_period_threshold=2,
+        c_in=1, id_vocab=2, id_embed_dim=4,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 1)).astype(np.float32) + 3)
+    y = jnp.asarray(rng.poisson(3.0, (4, 4, 1)).astype(np.float32))
+    batch = {
+        "x": x, "y": y, "mask": jnp.ones_like(y), "x_mark": None, "y_mark": None,
+        "static": None, "ids": jnp.zeros((4, 1), jnp.int32), "row_valid": jnp.ones(4),
+    }
+    e_plain = Engine(TimesNetConfig(**common, use_checkpoint=False), num_series=2)
+    e_remat = Engine(TimesNetConfig(**common, use_checkpoint=True), num_series=2)
+    s_plain = e_plain.init_state(jax.random.PRNGKey(0), batch)
+    s_remat = e_remat.init_state(jax.random.PRNGKey(0), batch)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_plain.params), jax.tree_util.tree_leaves(s_remat.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s_plain, l1, _ = e_plain.train_step(s_plain, 1e-3, jax.random.PRNGKey(1), batch, True)
+    s_remat, l2, _ = e_remat.train_step(s_remat, 1e-3, jax.random.PRNGKey(1), batch, True)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_plain.params), jax.tree_util.tree_leaves(s_remat.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference checkout missing")
+def test_gaussian_nll_matches_reference():
+    import torch
+
+    from timesnet_forecast.train import gaussian_nll_loss as ref_gnll
+
+    rng = np.random.default_rng(0)
+    mu = rng.standard_normal((2, 4, 3)).astype(np.float32)
+    sigma = rng.gamma(2.0, 0.5, (2, 4, 3)).astype(np.float32)
+    target = rng.standard_normal((2, 4, 3)).astype(np.float32)
+    floor = np.abs(rng.standard_normal((1, 1, 3))).astype(np.float32)
+
+    ours_scalar = np.asarray(gaussian_nll_loss(jnp.asarray(mu), jnp.asarray(sigma),
+                                               jnp.asarray(target), 0.3))
+    theirs_scalar = ref_gnll(torch.from_numpy(mu), torch.from_numpy(sigma),
+                             torch.from_numpy(target), 0.3).numpy()
+    np.testing.assert_allclose(ours_scalar, theirs_scalar, rtol=1e-5, atol=1e-6)
+
+    ours_vec = np.asarray(gaussian_nll_loss(jnp.asarray(mu), jnp.asarray(sigma),
+                                            jnp.asarray(target), jnp.asarray(floor)))
+    theirs_vec = ref_gnll(torch.from_numpy(mu), torch.from_numpy(sigma),
+                          torch.from_numpy(target), torch.from_numpy(floor)).numpy()
+    np.testing.assert_allclose(ours_vec, theirs_vec, rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def short_history_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("short_hist")
+    rng = np.random.default_rng(0)
+    T = 50
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(
+            np.round(4 + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)), 0
+        )
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    # test file with ONLY 6 days of history (< input_len 12)
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir)
+    short_dates = pd.date_range(dates[-1] + pd.Timedelta(days=1), periods=6, freq="D")
+    srows = []
+    for j in range(2):
+        for d in short_dates:
+            srows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": 3.0})
+    pd.DataFrame(srows).to_csv(test_dir / "TEST_00.csv", index=False)
+    return tmp_path, train_csv, test_dir
+
+
+def _short_cfg(tmp_path, train_csv, test_dir, strategy):
+    return {
+        "data": {
+            "train_csv": str(train_csv), "test_dir": str(test_dir),
+            "date_col": "date", "id_col": "id", "target_col": "target",
+            "horizon": 3, "time_features": {"enabled": False},
+        },
+        "preprocess": {"normalize": "none", "clip_negative": True},
+        "window": {"input_len": 12, "pred_len": 3, "short_series_strategy": strategy,
+                   "pad_value": 1.5},
+        "model": {
+            "mode": "direct", "input_len": 12, "pred_len": 3, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+        },
+        "train": {
+            "device": "cpu", "epochs": 1, "batch_size": 8, "lr": 1e-3,
+            "lr_warmup_steps": 0,
+            "val": {"strategy": "holdout", "holdout_days": 16},
+        },
+        "artifacts": {"dir": str(tmp_path / f"artifacts_{strategy}")},
+        "submission": {"out_path": str(tmp_path / f"sub_{strategy}.csv"),
+                       "format": "row_key"},
+        "tuning": {"seed": 1},
+    }
+
+
+@pytest.mark.parametrize("strategy", ["repeat", "pad"])
+def test_short_history_strategies(short_history_setup, strategy):
+    tmp_path, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp_path, train_csv, test_dir, strategy)
+    train_once(PipelineConfig.from_mapping(cfg))
+    out = predict_once(PipelineConfig.from_mapping(cfg))
+    sub = pd.read_csv(out)
+    assert len(sub) == 3
+    assert np.all(np.isfinite(sub.iloc[:, 1:].to_numpy(dtype=float)))
+
+
+def test_short_history_error_strategy(short_history_setup):
+    tmp_path, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp_path, train_csv, test_dir, "error")
+    train_once(PipelineConfig.from_mapping(cfg))
+    with pytest.raises(ValueError, match="shorter than required input_len"):
+        predict_once(PipelineConfig.from_mapping(cfg))
+
+
+def test_cli_train_and_predict(short_history_setup, tmp_path):
+    base, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp_path, train_csv, test_dir, "repeat")
+    cfg_path = tmp_path / "cfg.yaml"
+    save_yaml(cfg, str(cfg_path))
+    cli_main(["train", "--config", str(cfg_path), "--override", "train.epochs=1"])
+    cli_main(["predict", "--config", str(cfg_path)])
+    assert os.path.exists(cfg["submission"]["out_path"])
