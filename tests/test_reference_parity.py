@@ -140,6 +140,7 @@ def _build_pair(seed=0, **overrides):
         bottleneck_ratio=cfg.bottleneck_ratio,
         min_period_threshold=cfg.min_period_threshold,
         use_embedding_norm=cfg.use_embedding_norm,
+        embed_norm_mode=cfg.embed_norm_mode,
         min_sigma=cfg.min_sigma,
         id_embed_dim=cfg.id_embed_dim,
         static_proj_dim=cfg.static_proj_dim,
@@ -171,28 +172,48 @@ def _warmup_inputs(cfg, B, seed=0):
     return x, marks, static, ids
 
 
-@pytest.mark.parametrize("mode", ["direct", "recursive"])
-def test_full_forward_matches_reference(mode):
-    cfg, tmodel = _build_pair(mode=mode)
+VARIANTS = {
+    "direct": dict(mode="direct"),
+    "recursive": dict(mode="recursive"),
+    "relu_nobottleneck": dict(activation="relu", bottleneck_ratio=1.0),
+    "const_bias": dict(use_constant_context_bias=True, use_zero_mean_context=False,
+                       context_rank=0),
+    "no_context": dict(static_dim=0, id_embed_dim=0, use_zero_mean_context=False,
+                       context_rank=0, time_features=0),
+    "layer_norm_mode": dict(embed_norm_mode="layer"),
+    "rms_norm_mode": dict(embed_norm_mode="rms"),
+    "multi_kernel": dict(kernel_set=((3, 3), (5, 5), (7, 7)), k_periods=3,
+                         min_period_threshold=1),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_full_forward_matches_reference(variant):
+    cfg, tmodel = _build_pair(**VARIANTS[variant])
     B = 4
     x, marks, static, ids = _warmup_inputs(cfg, B)
+    marks_in = marks if cfg.time_features > 0 else None
+    static_in = static if cfg.static_dim > 0 else None
+    ids_in = ids if cfg.id_embed_dim > 0 else None
 
+    torch_kwargs = {}
+    if marks_in is not None:
+        torch_kwargs["x_mark"] = torch.from_numpy(marks_in)
+    if static_in is not None:
+        torch_kwargs["series_static"] = torch.from_numpy(static_in)
+    if ids_in is not None:
+        torch_kwargs["series_ids"] = torch.from_numpy(ids_in)
     with torch.no_grad():
-        t_rate, t_disp = tmodel(
-            torch.from_numpy(x),
-            x_mark=torch.from_numpy(marks),
-            series_static=torch.from_numpy(static),
-            series_ids=torch.from_numpy(ids),
-        )
+        t_rate, t_disp = tmodel(torch.from_numpy(x), **torch_kwargs)
 
     model = TimesNet(cfg)
     key = jax.random.PRNGKey(0)
     variables = model.init(
         {"params": key},
         jnp.asarray(x),
-        jnp.asarray(marks),
-        jnp.asarray(static),
-        jnp.asarray(ids),
+        jnp.asarray(marks_in) if marks_in is not None else None,
+        jnp.asarray(static_in) if static_in is not None else None,
+        jnp.asarray(ids_in) if ids_in is not None else None,
         deterministic=True,
     )
     transplanted = convert_timesnet_state(tmodel, cfg)
@@ -214,9 +235,9 @@ def test_full_forward_matches_reference(mode):
     rate, disp = model.apply(
         {"params": params},
         jnp.asarray(x),
-        jnp.asarray(marks),
-        jnp.asarray(static),
-        jnp.asarray(ids),
+        jnp.asarray(marks_in) if marks_in is not None else None,
+        jnp.asarray(static_in) if static_in is not None else None,
+        jnp.asarray(ids_in) if ids_in is not None else None,
         deterministic=True,
     )
     np.testing.assert_allclose(
