@@ -68,19 +68,25 @@ def _resolve_test_paths(data_cfg: Mapping[str, Any]) -> List[str]:
         patterns = [
             os.path.join(str(data_cfg["test_dir"]), data_cfg.get("test_pattern", "TEST_*.csv"))
         ]
+    inner = data_cfg.get("test_pattern", "TEST_*.csv")
     resolved: List[str] = []
     seen = set()
     for pattern in patterns:
         expanded = glob(pattern)
         if not expanded and os.path.isdir(pattern):
-            expanded = glob(os.path.join(pattern, data_cfg.get("test_pattern", "TEST_*.csv")))
+            expanded = glob(os.path.join(pattern, inner))
         if not expanded:
             expanded = [pattern]
         for path in expanded:
-            full = os.path.abspath(path)
-            if full not in seen:
-                resolved.append(full)
-                seen.add(full)
+            # a glob that matches a directory expands to its test files
+            # (improves on the reference, which would hand the directory
+            # itself to the CSV reader)
+            paths = glob(os.path.join(path, inner)) if os.path.isdir(path) else [path]
+            for p in paths:
+                full = os.path.abspath(p)
+                if full not in seen:
+                    resolved.append(full)
+                    seen.add(full)
     return sorted(resolved)
 
 
