@@ -11,6 +11,11 @@ in SMEM before the body runs.
 
 Numerics are identical to :func:`flow_timesnet_tpu.ops.fold.tap_conv`
 (float32 accumulation); tests run the kernel in interpreter mode on CPU.
+
+Enable per model via ``model.use_pallas`` (default off: the XLA tap
+formulation is already MXU-shaped, and remote-compile TPU relays may not
+support Mosaic kernel compilation at all — validate on your deployment
+before flipping the default).
 """
 
 from __future__ import annotations

@@ -1,0 +1,102 @@
+"""Serving API: Forecaster.from_artifacts + programmatic forecasts."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flow_timesnet_tpu.config import PipelineConfig
+from flow_timesnet_tpu.forecaster import Forecaster
+from flow_timesnet_tpu.train import train_once
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    T = 70
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    frames = {}
+    rows = []
+    for j in range(3):
+        vals = np.maximum(
+            np.round(5 + j + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)),
+            0,
+        )
+        frames[f"S{j}_menu"] = vals
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}_menu", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "date_col": "date", "id_col": "id",
+            "target_col": "target",
+            "time_features": {"enabled": True, "features": ["day_of_week"],
+                              "encoding": "cyclical", "normalize": True},
+        },
+        "preprocess": {"normalize": "zscore", "normalize_per_series": True,
+                       "eps": 1e-8, "clip_negative": True},
+        "window": {"input_len": 14, "pred_len": 5},
+        "model": {
+            "mode": "direct", "input_len": 14, "pred_len": 5, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 2, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 4,
+            "static_proj_dim": 4, "use_zero_mean_context": True, "context_rank": 2,
+        },
+        "train": {
+            "device": "cpu", "epochs": 2, "batch_size": 16, "lr": 1e-3,
+            "lr_warmup_steps": 0, "use_loss_masking": True,
+            "min_sigma_method": "per_series_median", "min_sigma_scale": 0.05,
+            "val": {"strategy": "holdout", "holdout_days": 24},
+        },
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "tuning": {"seed": 4},
+    }
+    train_once(PipelineConfig.from_mapping(cfg))
+    history = pd.DataFrame(frames, index=dates)
+    return tmp_path / "artifacts", history
+
+
+def test_forecaster_dataframe_round_trip(artifacts):
+    art_dir, history = artifacts
+    fc = Forecaster.from_artifacts(str(art_dir))
+    assert fc.input_len == 14 and fc.pred_len == 5
+    out = fc.forecast(history)
+    assert isinstance(out, pd.DataFrame)
+    assert out.shape == (5, 3)
+    assert list(out.columns) == list(history.columns)
+    assert (out.index[0] - history.index[-1]).days == 1
+    vals = out.to_numpy()
+    assert np.all(np.isfinite(vals)) and np.all(vals >= 0)
+    # forecasts should land near the recent level of each series
+    recent = history.tail(14).mean().to_numpy()
+    assert np.all(np.abs(vals.mean(axis=0) - recent) < 5.0)
+
+
+def test_forecaster_subset_and_dispersion(artifacts):
+    art_dir, history = artifacts
+    fc = Forecaster.from_artifacts(str(art_dir))
+    subset = ["S2_menu", "S0_menu"]
+    out, disp = fc.forecast(history[subset], return_dispersion=True)
+    assert out.shape == (5, 2)
+    assert disp.shape == (5, 2)
+    assert np.all(disp > 0)
+    # column order follows the request, and values match the full forecast
+    full = fc.forecast(history)
+    np.testing.assert_allclose(out["S2_menu"].to_numpy(),
+                               full["S2_menu"].to_numpy(), rtol=1e-5)
+
+
+def test_forecaster_errors(artifacts):
+    art_dir, history = artifacts
+    fc = Forecaster.from_artifacts(str(art_dir))
+    with pytest.raises(KeyError, match="Unknown series"):
+        fc.forecast(history.rename(columns={"S0_menu": "nope"}))
+    with pytest.raises(ValueError, match="history length"):
+        fc.forecast(history.tail(5))
+    with pytest.raises(ValueError, match="direct mode"):
+        fc.forecast(history, horizon=9)
+    with pytest.raises(ValueError, match="DatetimeIndex"):
+        fc.forecast(history.to_numpy(), series=list(history.columns))
