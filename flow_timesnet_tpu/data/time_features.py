@@ -8,7 +8,7 @@ cyclical/onehot/numeric encodings with optional normalisation.
 
 from __future__ import annotations
 
-from typing import Any, List, Mapping, Sequence, Tuple, Union
+from typing import Any, List, Mapping, Sequence, Union
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ and a ``lax.scan`` recursive decoder sharing the direct checkpoint
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ artifact contract (checkpoint + scaler + schema + metadata + signature).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

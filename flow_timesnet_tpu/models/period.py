@@ -22,7 +22,7 @@ weights yields the identical combined residual.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 from jax import Array, lax

@@ -25,11 +25,10 @@ initialised to copy-last-step so the initial forecast is
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field, replace
+from dataclasses import dataclass, replace
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 from jax import Array
 

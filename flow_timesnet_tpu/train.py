@@ -31,7 +31,7 @@ from .data.pivot import fit_series_scaler, pivot_long_to_wide, transform_datafra
 from .data.schema import DataSchema
 from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
-from .data.windows import WindowBatcher, build_batcher
+from .data.windows import build_batcher
 from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup

@@ -10,7 +10,6 @@ config.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import random
