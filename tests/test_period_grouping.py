@@ -161,3 +161,48 @@ def test_scheduled_value_resolution():
     assert resolve_log_base("off", 0) is None
     assert resolve_log_base(1.0, 0) is None
     assert resolve_log_base(2.5, 0) == 2.5
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference checkout missing")
+def test_group_weights_fuzz_vs_reference(monkeypatch):
+    """Seeded fuzz over random period sets / bounds / knobs vs the reference."""
+
+    rng = np.random.default_rng(2024)
+    for trial in range(40):
+        L = int(rng.integers(8, 64))
+        K = int(rng.integers(1, 6))
+        periods = rng.integers(1, L + 4, size=K).astype(np.int32)
+        B = int(rng.integers(1, 4))
+        amps = rng.gamma(2.0, 1.0, size=(B, K)).astype(np.float32)
+        min_p = int(rng.integers(1, 5))
+        max_p = int(rng.integers(min_p, L + 2))
+        log_base = float(rng.choice([0.0, 2.0, 3.0]))
+        log_base = None if log_base == 0.0 else log_base
+        max_uniq = int(rng.integers(0, 4))
+        max_uniq = None if max_uniq == 0 else max_uniq
+
+        ref = _reference_grouping(
+            periods, amps, L, min_p, max_p, log_base, max_uniq, monkeypatch
+        )
+        ref_w = _reference_weights(ref)
+        ours = group_periods(
+            jnp.asarray(periods),
+            jnp.asarray(amps),
+            jnp.ones(K, bool),
+            seq_len=L,
+            min_period=min_p,
+            max_period=max_p,
+            log_base=log_base,
+            max_unique=max_uniq,
+        )
+        ours_w = _effective_weights(ours)
+        ctx = dict(trial=trial, L=L, periods=periods.tolist(), min_p=min_p,
+                   max_p=max_p, log_base=log_base, max_uniq=max_uniq)
+        assert int(ours.group_count) == int(ref.periods.numel()), ctx
+        if not ref_w:
+            assert not any(ours_w[0].values()), ctx
+            continue
+        for b in range(len(ref_w)):
+            assert set(ours_w[b]) == set(ref_w[b]), (ctx, ours_w[b], ref_w[b])
+            for p in ref_w[b]:
+                assert abs(ours_w[b][p] - ref_w[b][p]) < 1e-4, (ctx, b, p)

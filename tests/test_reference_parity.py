@@ -295,3 +295,29 @@ def test_forward_nll_delta_within_tolerance():
         )
     )
     assert abs(ours - t_nll) <= 1e-5
+
+
+def test_fft_selector_fuzz_vs_reference():
+    """Seeded fuzz over lengths/k/bounds with random inputs."""
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        L = int(rng.integers(4, 128))
+        C = int(rng.integers(1, 5))
+        B = int(rng.integers(1, 4))
+        k = int(rng.integers(1, 6))
+        pmax = int(rng.integers(1, L + 8))
+        min_thresh = int(rng.integers(1, 10))
+        x = rng.standard_normal((B, L, C)).astype(np.float32)
+
+        sel = select_periods(jnp.asarray(x), k, pmax, min_thresh)
+        torch_sel = TorchSelector(k_periods=k, pmax=pmax, min_period_threshold=min_thresh)
+        t_periods, t_amps = torch_sel(torch.from_numpy(x))
+
+        ours_p = np.asarray(sel.periods)[np.asarray(sel.valid)]
+        ours_a = np.asarray(sel.amplitudes)[:, np.asarray(sel.valid)]
+        ctx = dict(trial=trial, L=L, C=C, k=k, pmax=pmax, min_thresh=min_thresh)
+        assert list(ours_p) == list(t_periods.numpy()), ctx
+        if ours_a.size:
+            np.testing.assert_allclose(ours_a, t_amps.numpy(), rtol=1e-4, atol=1e-5,
+                                       err_msg=str(ctx))
