@@ -29,6 +29,13 @@ def cmd_predict(args: argparse.Namespace) -> None:
     predict_once(cfg)
 
 
+def cmd_evaluate(args: argparse.Namespace) -> None:
+    from .evaluate import evaluate_once
+
+    cfg = PipelineConfig.from_files(args.config, overrides=args.override)
+    evaluate_once(cfg)
+
+
 def cmd_tune(args: argparse.Namespace) -> None:
     from .tune import tune
 
@@ -59,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_pred = sub.add_parser("predict", help="Run inference from stored artifacts")
     add_common(p_pred)
     p_pred.set_defaults(func=cmd_predict)
+
+    p_eval = sub.add_parser("evaluate", help="Score stored artifacts on a holdout CSV")
+    add_common(p_eval)
+    p_eval.set_defaults(func=cmd_evaluate)
 
     p_tune = sub.add_parser("tune", help="Hyper-parameter search around train_once")
     add_common(p_tune)

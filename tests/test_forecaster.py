@@ -100,3 +100,34 @@ def test_forecaster_errors(artifacts):
         fc.forecast(history, horizon=9)
     with pytest.raises(ValueError, match="DatetimeIndex"):
         fc.forecast(history.to_numpy(), series=list(history.columns))
+
+
+def test_evaluate_once(artifacts, tmp_path):
+    from flow_timesnet_tpu.evaluate import evaluate_once
+
+    art_dir, history = artifacts
+    train_csv = art_dir.parent / "train.csv"
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "date_col": "date", "id_col": "id",
+            "target_col": "target",
+            "time_features": {"enabled": True, "features": ["day_of_week"],
+                              "encoding": "cyclical", "normalize": True},
+        },
+        "preprocess": {"normalize": "zscore", "clip_negative": True},
+        "window": {"input_len": 14, "pred_len": 5},
+        "model": {"input_len": 14, "pred_len": 5, "kernel_set": [[3, 3]]},
+        "train": {"batch_size": 32, "use_loss_masking": True,
+                  "val": {"strategy": "holdout", "holdout_days": 24}},
+        "artifacts": {"dir": str(art_dir)},
+        "evaluation": {"out_path": str(tmp_path / "eval.json")},
+    }
+    result = evaluate_once(cfg)
+    assert np.isfinite(result["nll"])
+    assert 0.0 <= result["smape"] <= 2.0
+    assert result["windows"] > 0
+    import json
+
+    with open(tmp_path / "eval.json") as f:
+        saved = json.load(f)
+    assert saved["nll"] == pytest.approx(result["nll"])
