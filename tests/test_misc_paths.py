@@ -158,3 +158,37 @@ def test_cli_train_and_predict(short_history_setup, tmp_path):
     cli_main(["train", "--config", str(cfg_path), "--override", "train.epochs=1"])
     cli_main(["predict", "--config", str(cfg_path)])
     assert os.path.exists(cfg["submission"]["out_path"])
+
+
+def test_zero_k_periods_model_is_identity_blocks():
+    """k_periods=0: blocks pass through; heads still produce valid outputs."""
+
+    cfg = TimesNetConfig(
+        input_len=12, pred_len=3, d_model=8, d_ff=16, n_layers=2, k_periods=0,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", c_in=1, id_vocab=2,
+        id_embed_dim=2,
+    )
+    engine = Engine(cfg, num_series=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 1)).astype(np.float32) + 3)
+    batch = {
+        "x": x, "y": jnp.ones((2, 3, 1)), "mask": jnp.ones((2, 3, 1)),
+        "x_mark": None, "y_mark": None, "static": None,
+        "ids": jnp.zeros((2, 1), jnp.int32), "row_valid": jnp.ones(2),
+    }
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    rate, disp = engine.forward(state.params, x, ids=batch["ids"])
+    assert np.all(np.asarray(rate) > 0)
+    # zero-init heads + identity blocks -> copy-last-step baseline exactly
+    expected = np.log1p(np.exp(np.asarray(x)[:, -3:, :])) + 1e-6
+    np.testing.assert_allclose(np.asarray(rate), expected, rtol=1e-5, atol=1e-6)
+    state, loss, _ = engine.train_step(state, 1e-3, jax.random.PRNGKey(1), batch, True)
+    assert np.isfinite(float(loss))
+
+
+def test_dependency_bootstrap():
+    from flow_timesnet_tpu.dependency import bootstrap
+
+    key, devices = bootstrap(seed=1)
+    assert len(devices) >= 1
+    assert key is not None
