@@ -283,6 +283,47 @@ class Forecaster:
             return rate_out, disp_np
         return rate_out
 
+    def forecast_quantiles(
+        self,
+        history: pd.DataFrame | np.ndarray,
+        quantiles: Sequence[float] = (0.1, 0.5, 0.9),
+        series: Optional[Sequence[str]] = None,
+        horizon: Optional[int] = None,
+    ) -> Dict[float, Any]:
+        """NegBin predictive quantiles per series and step.
+
+        Uses the NB2 parameterisation (mean ``mu``, dispersion ``alpha``,
+        ``Var = mu + alpha mu^2``): scipy's nbinom with ``n = 1/alpha`` and
+        ``p = n / (n + mu)``. Quantiles are computed in the original units
+        (the scaler is inverted on the mean before the quantile transform,
+        which is exact for the identity/none scaler and an approximation
+        under affine scaling of count data).
+        """
+
+        from scipy.stats import nbinom
+
+        rate, disp = self.forecast(
+            history, series=series, horizon=horizon, return_dispersion=True
+        )
+        if isinstance(rate, pd.DataFrame):
+            index, columns = rate.index, rate.columns
+            mu = rate.to_numpy()
+        else:
+            index = columns = None
+            mu = np.asarray(rate)
+        alpha = np.clip(np.asarray(disp), 1e-8, None)
+        mu_safe = np.clip(mu, 1e-8, None)
+        n = 1.0 / alpha
+        p = n / (n + mu_safe)
+        out: Dict[float, Any] = {}
+        for q in quantiles:
+            values = nbinom.ppf(q, n, p).astype(np.float32)
+            if index is not None:
+                out[float(q)] = pd.DataFrame(values, index=index, columns=columns)
+            else:
+                out[float(q)] = values
+        return out
+
     def _sub_scaler(self, columns: List[str]):
         if self.scaler is None or self.method == "none":
             return None

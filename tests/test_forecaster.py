@@ -131,3 +131,18 @@ def test_evaluate_once(artifacts, tmp_path):
     with open(tmp_path / "eval.json") as f:
         saved = json.load(f)
     assert saved["nll"] == pytest.approx(result["nll"])
+
+
+def test_forecast_quantiles_monotone(artifacts):
+    art_dir, history = artifacts
+    fc = Forecaster.from_artifacts(str(art_dir))
+    qs = fc.forecast_quantiles(history, quantiles=(0.1, 0.5, 0.9))
+    assert set(qs) == {0.1, 0.5, 0.9}
+    q10 = qs[0.1].to_numpy()
+    q50 = qs[0.5].to_numpy()
+    q90 = qs[0.9].to_numpy()
+    assert np.all(q10 <= q50) and np.all(q50 <= q90)
+    assert np.all(q90 >= 0)
+    # the median should track the mean forecast to within the count scale
+    mean = fc.forecast(history).to_numpy()
+    assert np.all(np.abs(q50 - mean) <= np.maximum(3.0, mean))

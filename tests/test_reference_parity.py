@@ -321,3 +321,78 @@ def test_fft_selector_fuzz_vs_reference():
         if ours_a.size:
             np.testing.assert_allclose(ours_a, t_amps.numpy(), rtol=1e-4, atol=1e-5,
                                        err_msg=str(ctx))
+
+
+def test_gradients_match_reference():
+    """NB-NLL parameter gradients agree with torch autograd on the same
+    transplanted weights — validates the whole backward (incl. the tap-conv
+    VJP) end to end."""
+
+    import flax
+
+    cfg, tmodel = _build_pair()
+    tmodel.train()  # dropout=0.0, so train mode only affects nothing here
+    B = 4
+    x, marks, static, ids = _warmup_inputs(cfg, B, seed=5)
+    rng = np.random.default_rng(11)
+    y = rng.poisson(2.5, size=(B, cfg.pred_len, cfg.c_in)).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    t_rate, t_disp = tmodel(
+        xt, x_mark=torch.from_numpy(marks), series_static=torch.from_numpy(static),
+        series_ids=torch.from_numpy(ids),
+    )
+    t_loss = tlosses.negative_binomial_nll(torch.from_numpy(y), t_rate, t_disp)
+    t_loss.backward()
+    t_grads = {name: p.grad for name, p in tmodel.named_parameters() if p.grad is not None}
+
+    model = TimesNet(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+        deterministic=True,
+    )
+    flat_new = flax.traverse_util.flatten_dict(convert_timesnet_state(tmodel, cfg))
+    params = flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
+    )
+
+    def loss_fn(p):
+        rate, disp = model.apply(
+            {"params": p},
+            jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+            deterministic=True,
+        )
+        return jlosses.negative_binomial_nll(jnp.asarray(y), rate, disp)
+
+    loss_val, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss_val) - float(t_loss)) <= 1e-5
+
+    def t2j_linear(g):  # torch Linear grad [out,in] -> Dense kernel grad [in,out]
+        return np.asarray(g).T
+
+    checks = [
+        (("mu_head", "kernel"), t2j_linear(t_grads["mu_head.weight"])),
+        (("mu_head", "bias"), np.asarray(t_grads["mu_head.bias"])),
+        (("sigma_head", "kernel"), t2j_linear(t_grads["sigma_head.weight"])),
+        (("forecast_time_proj", "kernel"), t2j_linear(t_grads["forecast_time_proj.weight"])),
+        (("embedding", "value_embedding", "kernel"),
+         t2j_linear(t_grads["embedding.value_embedding.weight"])),
+        (("series_embedding", "embedding"),
+         np.asarray(t_grads["series_embedding.weight"])),
+        (("layer_norm", "scale"), np.asarray(t_grads["layer_norm.weight"])),
+        (("temporal_context", "scale"), np.asarray(t_grads["temporal_context.scale"])),
+        (("blocks_0", "inception_in", "proj_kernel"),
+         np.transpose(np.asarray(t_grads["blocks.0.inception.0.proj.weight"])[:, :, 0, 0], (1, 0))),
+        (("blocks_0", "inception_in", "branch_0", "conv_kernel"),
+         np.transpose(np.asarray(t_grads["blocks.0.inception.0.paths.0.branch.1.weight"]),
+                      (2, 3, 1, 0))),
+    ]
+    flat_grads = flax.traverse_util.flatten_dict(grads)
+    for path, expected in checks:
+        got = np.asarray(flat_grads[path])
+        denom = max(1e-6, float(np.abs(expected).max()))
+        np.testing.assert_allclose(
+            got, expected, rtol=5e-3, atol=5e-4 * denom,
+            err_msg=str(path),
+        )
