@@ -380,9 +380,43 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         ) != bool(time_features_enabled):
             raise ValueError("Time feature enablement differs from checkpoint metadata")
 
-    # static features aligned to the trained id order (zero-fill missing)
-    static_features_np = scaler_meta.get("static_features")
-    static_feature_ids: Optional[List[str]] = list(ids)
+    # static features: optional standalone artifact wins, else scaler metadata
+    # (reference predict.py:466-507 incl. the graceful fallbacks)
+    static_features_np = None
+    static_feature_ids: Optional[List[str]] = None
+    static_file = cfg_used["artifacts"].get("static_file")
+    if static_file:
+        static_path = static_file
+        if not os.path.isabs(static_path):
+            static_path = os.path.join(art_dir, static_path)
+        try:
+            payload = artifacts_io.load_pickle(static_path)
+        except (FileNotFoundError, OSError) as err:
+            console().print(
+                f"[yellow]Static feature artifact not readable at {static_path} ({err}); "
+                "falling back to scaler metadata.[/yellow]"
+            )
+        else:
+            if isinstance(payload, dict):
+                static_features_np = payload.get("static_features")
+                payload_ids = payload.get("ids") or payload.get("series_ids")
+                if payload_ids is not None:
+                    static_feature_ids = list(payload_ids)
+            elif isinstance(payload, np.ndarray):
+                static_features_np = payload
+            else:
+                console().print(
+                    f"[yellow]Unsupported static feature artifact type {type(payload)!r}; "
+                    "falling back to scaler metadata.[/yellow]"
+                )
+            if static_features_np is None:
+                console().print(
+                    f"[yellow]Static feature artifact {static_path} did not contain "
+                    "features; falling back to scaler metadata.[/yellow]"
+                )
+    if static_features_np is None:
+        static_features_np = scaler_meta.get("static_features")
+        static_feature_ids = static_feature_ids or list(ids)
     static_full: Optional[np.ndarray] = None
     if static_features_np is not None:
         arr = np.asarray(static_features_np, dtype=np.float32)

@@ -91,3 +91,82 @@ def test_horizon_beyond_pred_len_fills_defaults(tmp_path):
     # first pred_len rows hold model output, the rest the default fill
     assert np.all(vals[:3] >= 0)
     assert np.all(vals[3:] == -1.0)
+
+
+def test_static_file_artifact_override(tmp_path):
+    """artifacts.static_file wins over scaler metadata, with id alignment."""
+
+    import pickle
+
+    rng = np.random.default_rng(0)
+    T = 40
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(np.round(4 + rng.normal(0, 0.5, T)), 0)
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir)
+    tdates = pd.date_range(dates[-1] + pd.Timedelta(days=1), periods=14, freq="D")
+    trows = []
+    for j in range(2):
+        for d in tdates:
+            trows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": 3.0})
+    pd.DataFrame(trows).to_csv(test_dir / "TEST_00.csv", index=False)
+
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "test_dir": str(test_dir),
+            "date_col": "date", "id_col": "id", "target_col": "target",
+            "horizon": 3, "time_features": {"enabled": False},
+        },
+        "preprocess": {"normalize": "none", "clip_negative": True},
+        "window": {"input_len": 12, "pred_len": 3},
+        "model": {
+            "mode": "direct", "input_len": 12, "pred_len": 3, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+            "static_proj_dim": 4,
+        },
+        "train": {
+            "device": "cpu", "epochs": 1, "batch_size": 8, "lr": 1e-3,
+            "lr_warmup_steps": 0,
+            "val": {"strategy": "holdout", "holdout_days": 16},
+        },
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "submission": {"out_path": str(tmp_path / "sub.csv"), "format": "row_key"},
+        "tuning": {"seed": 1},
+    }
+    train_once(PipelineConfig.from_mapping(cfg))
+
+    # standalone static artifact with permuted id order (must re-align)
+    with open(tmp_path / "artifacts" / "scaler.pkl", "rb") as f:
+        scaler_meta = pickle.load(f)
+    statics = np.asarray(scaler_meta["static_features"])
+    override = {"static_features": statics[::-1].copy(), "ids": ["S1", "S0"]}
+    with open(tmp_path / "statics.pkl", "wb") as f:
+        pickle.dump(override, f)
+    cfg2 = dict(cfg)
+    cfg2["artifacts"] = dict(cfg["artifacts"], static_file=str(tmp_path / "statics.pkl"))
+    out = predict_once(PipelineConfig.from_mapping(cfg2))
+    sub = pd.read_csv(out)
+    assert np.all(np.isfinite(sub.iloc[:, 1:].to_numpy(dtype=float)))
+    # aligned statics == scaler statics, so outputs match the default path
+    out_default = predict_once(
+        PipelineConfig.from_mapping({**cfg, "submission": {
+            "out_path": str(tmp_path / "sub_default.csv"), "format": "row_key"}})
+    )
+    sub_default = pd.read_csv(out_default)
+    np.testing.assert_allclose(
+        sub.iloc[:, 1:].to_numpy(dtype=float),
+        sub_default.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+    )
+    # missing artifact falls back gracefully
+    cfg3 = dict(cfg)
+    cfg3["artifacts"] = dict(cfg["artifacts"], static_file=str(tmp_path / "nope.pkl"))
+    cfg3["submission"] = {"out_path": str(tmp_path / "sub3.csv"), "format": "row_key"}
+    predict_once(PipelineConfig.from_mapping(cfg3))
