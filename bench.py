@@ -3,9 +3,12 @@ demand recipe (BASELINE config #2 shapes: L=28, H=7, d_model=128, d_ff=512,
 2 TimesBlocks, kernels 3/5/7 with bottleneck 4, ID+static embeddings, LRTC).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no throughput numbers (BASELINE.json "published" is
-empty), so vs_baseline is reported against a fixed reference measurement of
-the PyTorch implementation when available, else 1.0.
+The reference publishes no absolute throughput numbers (BASELINE.json
+"published" is empty), so vs_baseline is measured live: the PyTorch
+reference implementation (mounted read-only) trains the same shapes on this
+host's CPU — its only runnable backend here — and vs_baseline is
+ours / reference. Falls back to 1.0 when the reference checkout or torch is
+unavailable.
 """
 
 from __future__ import annotations
@@ -78,16 +81,78 @@ def main() -> None:
         best_step = min(best_step, step_time)
     windows_per_sec = batch / best_step
 
+    vs_baseline = 1.0
+    try:
+        ref_wps = _reference_windows_per_sec(batch)
+        if ref_wps and ref_wps > 0:
+            vs_baseline = round(float(windows_per_sec) / ref_wps, 2)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
                 "metric": "train_series_windows_per_sec_per_chip",
                 "value": round(float(windows_per_sec), 2),
                 "unit": "windows/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": vs_baseline,
             }
         )
     )
+
+
+def _reference_windows_per_sec(batch: int) -> float:
+    """Train-step throughput of the PyTorch reference on this host (CPU)."""
+
+    import os
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        return 0.0
+    if ref_src not in sys.path:
+        sys.path.insert(0, ref_src)
+    import numpy as np
+    import torch
+
+    from timesnet_forecast.losses import negative_binomial_nll
+    from timesnet_forecast.models.timesnet import TimesNet as TorchTimesNet
+
+    torch.manual_seed(0)
+    model = TorchTimesNet(
+        input_len=28, pred_len=7, d_model=128, d_ff=512, n_layers=2, k_periods=2,
+        kernel_set=[[3, 3], [5, 5], [7, 7]], dropout=0.1, activation="gelu",
+        mode="direct", bottleneck_ratio=4.0, min_period_threshold=7,
+        id_embed_dim=32, static_proj_dim=32, use_zero_mean_context=True,
+        context_rank=8, context_scale=0.05,
+    )
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(
+        (2 + rng.standard_normal((batch, 28, 1))).astype(np.float32)
+    )
+    marks = torch.from_numpy(rng.standard_normal((batch, 28, 8)).astype(np.float32))
+    static = torch.from_numpy(rng.standard_normal((batch, 1, 5)).astype(np.float32))
+    ids = torch.from_numpy(rng.integers(0, 192, (batch, 1)))
+    ids[0, 0] = 191
+    y = torch.from_numpy(rng.poisson(3.0, (batch, 7, 1)).astype(np.float32))
+    with torch.no_grad():
+        model(x[:1], x_mark=marks[:1], series_static=static[:1], series_ids=ids[:1])
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=1e-6)
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        rate, disp = model(x, x_mark=marks, series_static=static, series_ids=ids)
+        loss = negative_binomial_nll(y, rate, disp)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+
+    step()  # warm caches
+    steps = 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    elapsed = time.perf_counter() - t0
+    return steps * batch / elapsed
 
 
 if __name__ == "__main__":

@@ -100,33 +100,33 @@ def tap_conv(
     # each side.
     m = rh * (geom.Lp - geom.L)
     padded = jnp.pad(h, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
+    window = Lp + 2 * rw
+    w = kernel.reshape(kh, kw * Cin, Cout)
 
-    taps = []
-    masks = []
-    for dc in range(-rh, rh + 1):
+    # Accumulate one kernel row (dc) at a time: the materialised tap stack is
+    # [K, B, Lp, kw*Cin] instead of [K, B, Lp, kh*kw*Cin], dividing peak
+    # memory by kh (matters at long context), while each partial matmul stays
+    # MXU-shaped.
+    out = jnp.zeros((K, B, Lp, Cout), jnp.float32)
+    for i, dc in enumerate(range(-rh, rh + 1)):
         # Shift by the traced dc * p_k: batched dynamic_slice over candidates.
         starts = m + dc * geom.periods  # [K], in [0, 2m]
-        window = Lp + 2 * rw
 
         def slice_one(hk: Array, s: Array) -> Array:
             return lax.dynamic_slice_in_dim(hk, s, window, axis=1)
 
         h_dc = jax.vmap(slice_one)(padded, starts)  # [K, B, Lp + 2rw, Cin]
         row_ok = ((geom.row + dc) >= 0) & ((geom.row + dc) < geom.cycles[:, None])
+        taps = []
         for dj in range(-rw, rw + 1):
             tap = lax.slice_in_dim(h_dc, rw + dj, rw + dj + Lp, axis=2)
             col_ok = ((geom.col + dj) >= 0) & ((geom.col + dj) < geom.periods[:, None])
-            taps.append(tap)
-            masks.append(row_ok & col_ok)
-
-    stack = jnp.stack(taps, axis=3)  # [K, B, Lp, S, Cin]
-    mask = jnp.stack(masks, axis=2)[:, None, :, :, None]  # [K, 1, Lp, S, 1]
-    stack = stack * mask.astype(stack.dtype)
-    S = kh * kw
-    w = kernel.reshape(S, Cin, Cout)
-    out = jnp.einsum(
-        "kbtsc,sco->kbto", stack, w, preferred_element_type=jnp.float32
-    )
+            mask = (row_ok & col_ok)[:, None, :, None]  # [K, 1, Lp, 1]
+            taps.append(tap * mask.astype(tap.dtype))
+        stack = jnp.concatenate(taps, axis=-1)  # [K, B, Lp, kw*Cin]
+        out = out + jnp.einsum(
+            "kbtc,co->kbto", stack, w[i], preferred_element_type=jnp.float32
+        )
     return out + bias.astype(out.dtype)
 
 
