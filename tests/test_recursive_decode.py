@@ -99,3 +99,11 @@ def test_direct_and_recursive_share_checkpoint_structure():
         if "late_bias" in name:
             continue
         assert leaf_d.shape == leaf_r.shape, name
+
+
+def test_rollout_requires_future_marks():
+    cfg, engine = _make("recursive")
+    x = jnp.zeros((2, cfg.input_len, 1))
+    marks = jnp.zeros((2, cfg.input_len, 3))
+    with np.testing.assert_raises(ValueError):
+        engine.rollout(None, x, 4, x_mark=marks, y_mark=None)

@@ -72,3 +72,102 @@ def test_random_search_tuner(tmp_path, monkeypatch):
     # the saved best config must be loadable and carry the tuned values
     best_cfg = PipelineConfig.from_files(str(tmp_path / "artifacts" / "best_config.yaml"))
     assert best_cfg.model.d_model == result["best_params"]["model.d_model"]
+
+
+def test_optuna_branch_with_mock(tmp_path, monkeypatch):
+    """Exercise the optuna code path via a minimal stand-in module."""
+
+    class FakeTrial:
+        def __init__(self, rng):
+            self.rng = rng
+            self.params = {}
+
+        def suggest_categorical(self, name, choices):
+            v = self.rng.choice(list(choices))
+            v = v.item() if hasattr(v, "item") else v
+            self.params[name] = v
+            return v
+
+        def suggest_int(self, name, low, high, step=1):
+            n = (high - low) // step
+            v = int(low + self.rng.integers(0, n + 1) * step)
+            self.params[name] = v
+            return v
+
+        def suggest_float(self, name, low, high, log=False):
+            v = float(self.rng.uniform(low, high))
+            self.params[name] = v
+            return v
+
+    class FakeStudy:
+        def __init__(self):
+            self.best_value = None
+            self.best_params = {}
+
+        def optimize(self, objective, n_trials):
+            rng = np.random.default_rng(0)
+            for _ in range(n_trials):
+                trial = FakeTrial(rng)
+                value = objective(trial)
+                if self.best_value is None or value < self.best_value:
+                    self.best_value = value
+                    self.best_params = dict(trial.params)
+
+    class FakeOptuna:
+        class samplers:
+            @staticmethod
+            def TPESampler(seed=None, multivariate=False):
+                return None
+
+        class pruners:
+            @staticmethod
+            def MedianPruner():
+                return None
+
+            @staticmethod
+            def NopPruner():
+                return None
+
+        @staticmethod
+        def create_study(direction, sampler, pruner):
+            return FakeStudy()
+
+    monkeypatch.setattr(tune_mod, "optuna", FakeOptuna)
+    monkeypatch.setattr(tune_mod, "HAS_OPTUNA", True)
+
+    train_csv = tmp_path / "train.csv"
+    _make_csv(train_csv)
+    search_space = tmp_path / "space.yaml"
+    save_yaml(
+        {
+            "train.lr": {"low": 1e-4, "high": 1e-2, "log": True, "type": "float"},
+            "train.batch_size": {"choices": [4, 8], "type": "categorical"},
+        },
+        str(search_space),
+    )
+    cfg = PipelineConfig.from_mapping(
+        {
+            "data": {
+                "train_csv": str(train_csv), "date_col": "date", "id_col": "id",
+                "target_col": "target", "time_features": {"enabled": False},
+            },
+            "preprocess": {"normalize": "none", "clip_negative": True},
+            "window": {"input_len": 12, "pred_len": 4},
+            "model": {
+                "mode": "direct", "input_len": 12, "pred_len": 4, "d_model": 8,
+                "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+                "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+            },
+            "train": {
+                "device": "cpu", "epochs": 1, "batch_size": 4, "lr": 1e-3,
+                "lr_warmup_steps": 0,
+                "val": {"strategy": "holdout", "holdout_days": 18},
+            },
+            "artifacts": {"dir": str(tmp_path / "artifacts")},
+            "tuning": {"seed": 3, "n_trials": 2, "sampler": "tpe_multivariate"},
+        }
+    )
+    result = tune_mod.tune(cfg, str(search_space), n_trials=2,
+                           out_dir=str(tmp_path / "artifacts"))
+    assert np.isfinite(result["best_value"])
+    assert set(result["best_params"]) == {"train.lr", "train.batch_size"}
