@@ -201,3 +201,29 @@ def test_metadata_guard_rejects_window_drift(trained):
     bad["model"] = dict(cfg["model"], input_len=12)
     with pytest.raises(ValueError, match="input_len"):
         predict_once(PipelineConfig.from_mapping(bad))
+
+
+def test_rolling_cv_training(tmp_path):
+    """Rolling-CV validation strategy (the reference default): multiple folds,
+    leak-free scaler fit on the first train fold."""
+
+    train_csv = tmp_path / "train.csv"
+    _write_long_csv(train_csv, T=80)
+    cfg = _cfg_dict(tmp_path, train_csv, tmp_path, tmp_path / "none.csv")
+    cfg["train"]["val"] = {
+        "strategy": "rolling",
+        "holdout_days": 24,
+        "rolling_folds": 3,
+        "rolling_step_days": 7,
+    }
+    cfg["train"]["epochs"] = 1
+    best_nll, paths = train_once(PipelineConfig.from_mapping(cfg))
+    assert np.isfinite(best_nll)
+    # scaler was fit on the first fold's training slice only: transform of
+    # that slice must have ~zero mean under zscore
+    import pickle
+
+    with open(tmp_path / "artifacts" / "scaler.pkl", "rb") as f:
+        meta = pickle.load(f)
+    assert meta["method"] == "zscore"
+    assert set(meta["scaler"]) == {"S0_item", "S1_item", "S2_item"}
