@@ -21,7 +21,22 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: repeat bench runs (and identical driver
+    # rounds) skip the expensive (possibly remote) compilation
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "flow_timesnet_tpu", "jax_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _example_batch, _flagship_cfg
