@@ -11,7 +11,7 @@ and a ``lax.scan`` recursive decoder sharing the direct checkpoint
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +28,6 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     grad_accum: Any  # zeros-like params when accumulating, else None
-
-
-class EvalAccum(NamedTuple):
-    nll_num: float
-    nll_den: float
-    smape_sum: float
-    smape_cnt: float
-    series_sums: np.ndarray
-    series_cnts: np.ndarray
 
 
 def _base_mask(y, mask, row_valid, use_loss_masking: bool):

@@ -72,7 +72,7 @@ class Forecaster:
         scaler_meta = artifacts_io.load_pickle(
             os.path.join(art_dir, artifacts.get("scaler_file", "scaler.pkl"))
         )
-        schema_obj, schema_meta = artifacts_io.load_schema_artifact(
+        schema_obj, _schema_meta = artifacts_io.load_schema_artifact(
             os.path.join(art_dir, artifacts.get("schema_file", "schema.json"))
         )
         ids = list(scaler_meta["ids"])

@@ -16,9 +16,9 @@ from flow_timesnet_tpu.engine import Engine, batch_to_device
 from flow_timesnet_tpu.models.timesnet import TimesNetConfig
 
 
-def _run(seed=0, epochs=3):
+def _run(seed=0, epochs=2):
     rng = np.random.default_rng(seed)
-    T, N = 120, 2
+    T, N = 80, 2
     t = np.arange(T)
     X = np.stack(
         [3 + np.sin(2 * math.pi * t / 7), 4 + np.cos(2 * math.pi * t / 14)], axis=1

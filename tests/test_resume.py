@@ -47,7 +47,7 @@ def _cfg(tmp_path, train_csv, epochs, resume=False):
             "lr_warmup_steps": 0, "use_loss_masking": True, "resume": resume,
             "save_train_state": True,
             # pin the cosine horizon so partial and full runs share one schedule
-            "lr_scheduler": {"type": "cosine", "T_max": 4, "eta_min": 1e-5},
+            "lr_scheduler": {"type": "cosine", "T_max": 3, "eta_min": 1e-5},
             "val": {"strategy": "holdout", "holdout_days": 20},
         },
         "artifacts": {"dir": str(tmp_path / "artifacts")},
@@ -59,16 +59,16 @@ def test_resume_continues_from_saved_state(tmp_path):
     train_csv = tmp_path / "train.csv"
     _make_csv(train_csv)
 
-    # uninterrupted 4-epoch run
+    # uninterrupted 3-epoch run
     full_dir = tmp_path / "full"
-    cfg_full = _cfg(full_dir, train_csv, epochs=4)
+    cfg_full = _cfg(full_dir, train_csv, epochs=3)
     nll_full, _ = train_once(PipelineConfig.from_mapping(cfg_full))
 
-    # 2 epochs, then resume for 4 total
-    cfg_a = _cfg(tmp_path, train_csv, epochs=2)
+    # 1 epoch, then resume for 3 total
+    cfg_a = _cfg(tmp_path, train_csv, epochs=1)
     train_once(PipelineConfig.from_mapping(cfg_a))
     assert os.path.exists(tmp_path / "artifacts" / "train_state.msgpack")
-    cfg_b = _cfg(tmp_path, train_csv, epochs=4, resume=True)
+    cfg_b = _cfg(tmp_path, train_csv, epochs=3, resume=True)
     nll_resumed, _ = train_once(PipelineConfig.from_mapping(cfg_b))
 
     # identical data order (seeded) + restored optimizer state -> same result
