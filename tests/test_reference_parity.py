@@ -396,3 +396,69 @@ def test_gradients_match_reference():
             got, expected, rtol=5e-3, atol=5e-4 * denom,
             err_msg=str(path),
         )
+
+
+def test_training_dynamics_match_reference():
+    """Four full AdamW steps (grad clip 1.0, weight decay 1e-6) from
+    transplanted weights on identical batches: per-step losses must track the
+    reference trajectory — validates optimizer math + clipping end to end."""
+
+    import flax
+
+    from flow_timesnet_tpu.engine import Engine
+
+    cfg, tmodel = _build_pair()
+    B = 8
+    x, marks, static, ids = _warmup_inputs(cfg, B, seed=2)
+    rng = np.random.default_rng(3)
+    y = rng.poisson(2.0, size=(B, cfg.pred_len, cfg.c_in)).astype(np.float32)
+
+    # torch side
+    with torch.no_grad():  # warm-build
+        tmodel(torch.from_numpy(x[:1]), x_mark=torch.from_numpy(marks[:1]),
+               series_static=torch.from_numpy(static[:1]),
+               series_ids=torch.from_numpy(ids[:1]))
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=1e-3, weight_decay=1e-6)
+    torch_losses = []
+    for _ in range(4):
+        opt.zero_grad(set_to_none=True)
+        rate, disp = tmodel(
+            torch.from_numpy(x), x_mark=torch.from_numpy(marks),
+            series_static=torch.from_numpy(static), series_ids=torch.from_numpy(ids),
+        )
+        loss = tlosses.negative_binomial_nll(torch.from_numpy(y), rate, disp)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # ours, from the SAME initial weights (transplant before any torch step —
+    # rebuild the reference to reset)
+    cfg2, tmodel2 = _build_pair()
+    with torch.no_grad():
+        tmodel2(torch.from_numpy(x[:1]), x_mark=torch.from_numpy(marks[:1]),
+                series_static=torch.from_numpy(static[:1]),
+                series_ids=torch.from_numpy(ids[:1]))
+    engine = Engine(cfg2, use_loss_masking=False, grad_clip_norm=1.0,
+                    weight_decay=1e-6, num_series=cfg2.id_vocab)
+    batch = {
+        "x": jnp.asarray(x), "y": jnp.asarray(y),
+        "mask": jnp.ones_like(jnp.asarray(y)),
+        "x_mark": jnp.asarray(marks), "y_mark": None,
+        "static": jnp.asarray(static), "ids": jnp.asarray(ids),
+        "row_valid": jnp.ones(B, jnp.float32),
+    }
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    flat_new = flax.traverse_util.flatten_dict(convert_timesnet_state(tmodel2, cfg2))
+    params = flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
+    )
+    state = state.replace(params=params, opt_state=engine.tx.init(params))
+    our_losses = []
+    for i in range(4):
+        state, loss, _ = engine.train_step(
+            state, 1e-3, jax.random.PRNGKey(100 + i), batch, True
+        )
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4, atol=2e-5)
