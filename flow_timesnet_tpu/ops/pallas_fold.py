@@ -80,23 +80,28 @@ def _tap_conv_pallas_impl(
         t = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
         col = t % p
         row = t // p
-        acc = jnp.zeros((b_tile * Lp, Cout), jnp.float32)
-        tap_idx = 0
-        for dc in range(-rh, rh + 1):
+
+        # rolled loop over the kh*kw taps: keeps the Mosaic program small
+        # (the unrolled variant OOMs the compiler for 7x7 kernels)
+        def body(s, acc):
+            dc = s // kw - rh
+            dj = s % kw - rw
             row_ok = ((row + dc) >= 0) & ((row + dc) < cyc)
-            for dj in range(-rw, rw + 1):
-                col_ok = ((col + dj) >= 0) & ((col + dj) < p)
-                mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
-                start = pad + dc * p + dj
-                tap = h_ref[0, :, pl.ds(start, Lp), :]  # [b_tile, Lp, Cin]
-                tap = tap.astype(jnp.float32) * mask[None, :, :]
-                acc += jax.lax.dot_general(
-                    tap.reshape(b_tile * Lp, Cin),
-                    w_ref[tap_idx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                tap_idx += 1
+            col_ok = ((col + dj) >= 0) & ((col + dj) < p)
+            mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
+            start = pad + dc * p + dj
+            tap = h_ref[0, :, pl.ds(start, Lp), :]  # [b_tile, Lp, Cin]
+            tap = tap.astype(jnp.float32) * mask[None, :, :]
+            return acc + jax.lax.dot_general(
+                tap.reshape(b_tile * Lp, Cin),
+                w_ref[s],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jax.lax.fori_loop(
+            0, kh * kw, body, jnp.zeros((b_tile * Lp, Cout), jnp.float32)
+        )
         out_ref[0] = (acc + b_ref[0][None, :]).reshape(b_tile, Lp, Cout)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
