@@ -70,7 +70,8 @@ def _tap_conv_pallas_impl(
     h_pad = jnp.pad(h, ((0, 0), (0, 0), (pad, pad), (0, 0)))
     Lpad = Lp + 2 * pad
     S = kh * kw
-    w = kernel.reshape(S, Cin, Cout).astype(jnp.float32)
+    # weights laid out as [kh, kw*Cin, Cout] so each kernel row is one wide dot
+    w = kernel.reshape(kh, kw * Cin, Cout).astype(jnp.float32)
     b_vec = bias.reshape(1, Cout).astype(jnp.float32)
 
     def kern(periods_ref, cycles_ref, h_ref, w_ref, b_ref, out_ref):
@@ -81,26 +82,31 @@ def _tap_conv_pallas_impl(
         col = t % p
         row = t // p
 
-        # rolled loop over the kh*kw taps: keeps the Mosaic program small
-        # (the unrolled variant OOMs the compiler for 7x7 kernels)
-        def body(s, acc):
-            dc = s // kw - rh
-            dj = s % kw - rw
+        # Rolled loop over kernel rows (dc) keeps the Mosaic program small —
+        # the fully unrolled variant OOMs the compiler at 7x7 — while the kw
+        # taps inside a row are fused into one [b*Lp, kw*Cin] x [kw*Cin, Cout]
+        # MXU dot (wide contraction, few iterations).
+        def body(i, acc):
+            dc = i - rh
             row_ok = ((row + dc) >= 0) & ((row + dc) < cyc)
-            col_ok = ((col + dj) >= 0) & ((col + dj) < p)
-            mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
-            start = pad + dc * p + dj
-            tap = h_ref[0, :, pl.ds(start, Lp), :]  # [b_tile, Lp, Cin]
-            tap = tap.astype(jnp.float32) * mask[None, :, :]
+            start = pad + dc * p - rw
+            taps = []
+            for j in range(kw):  # static, small
+                dj = j - rw
+                col_ok = ((col + dj) >= 0) & ((col + dj) < p)
+                mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
+                tap = h_ref[0, :, pl.ds(start + j, Lp), :]  # [b_tile, Lp, Cin]
+                taps.append(tap.astype(jnp.float32) * mask[None, :, :])
+            stack = jnp.concatenate(taps, axis=-1)  # [b_tile, Lp, kw*Cin]
             return acc + jax.lax.dot_general(
-                tap.reshape(b_tile * Lp, Cin),
-                w_ref[s],
+                stack.reshape(b_tile * Lp, kw * Cin),
+                w_ref[i],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
         acc = jax.lax.fori_loop(
-            0, kh * kw, body, jnp.zeros((b_tile * Lp, Cout), jnp.float32)
+            0, kh, body, jnp.zeros((b_tile * Lp, Cout), jnp.float32)
         )
         out_ref[0] = (acc + b_ref[0][None, :]).reshape(b_tile, Lp, Cout)
 
@@ -113,7 +119,10 @@ def _tap_conv_pallas_impl(
                 lambda k, b, *refs: (k, b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((S, Cin, Cout), lambda k, b, *refs: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (kh, kw * Cin, Cout), lambda k, b, *refs: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, Cout), lambda k, b, *refs: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
