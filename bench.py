@@ -71,27 +71,38 @@ def main() -> None:
         state, loss, _ = engine.train_step(state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True)
     jax.block_until_ready(state.params)
 
-    # Differential timing: run n1 and n2 steps, each ended by a scalar VALUE
-    # fetch (true end-to-end completion even through relays whose
-    # block_until_ready acks early); the per-step time is the slope, which
-    # cancels the constant dispatch/fetch round-trip latency.
-    def timed_run(n_steps: int, tag: int) -> float:
+    # Differential timing over two fused scan lengths: each run is ONE device
+    # dispatch (lax.scan over stacked batches) ended by a scalar VALUE fetch
+    # (true end-to-end completion even through relays whose block_until_ready
+    # acks early). The per-step time is the slope between the two lengths,
+    # which cancels the constant dispatch/fetch round-trip latency.
+    def make_stacked(steps: int):
+        stacked = jax.tree_util.tree_map(
+            lambda x: (
+                jnp.broadcast_to(x[None], (steps,) + x.shape) if x is not None else None
+            ),
+            dev_batch,
+        )
+        keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(steps)])
+        return stacked, keys
+
+    n1, n2 = 8, 32
+    runs = {n: make_stacked(n) for n in (n1, n2)}
+
+    def timed_run(n_steps: int) -> float:
         nonlocal state
+        stacked, keys = runs[n_steps]
         t0 = time.perf_counter()
-        loss = None
-        for i in range(n_steps):
-            state, loss, _ = engine.train_step(
-                state, 1e-4, jax.random.fold_in(rng, tag * 1000 + i), dev_batch, True
-            )
-        _ = float(loss)
+        state, losses, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)
+        _ = float(losses[-1])
         return time.perf_counter() - t0
 
-    n1, n2 = 10, 60
-    timed_run(n1, 0)  # settle
+    timed_run(n1)  # compile + settle
+    timed_run(n2)
     best_step = float("inf")
-    for trial in range(2):
-        e1 = timed_run(n1, 1 + 2 * trial)
-        e2 = timed_run(n2, 2 + 2 * trial)
+    for _ in range(2):
+        e1 = timed_run(n1)
+        e2 = timed_run(n2)
         step_time = max((e2 - e1) / (n2 - n1), 1e-9)
         best_step = min(best_step, step_time)
     windows_per_sec = batch / best_step
