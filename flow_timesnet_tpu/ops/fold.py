@@ -26,11 +26,18 @@ run in one fused program.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import Array, lax
+
+# Above this tap-stack footprint the fold conv switches from one fused matmul
+# to per-kernel-row accumulation (peak memory / kh). Overridable for tuning.
+_FULL_STACK_BYTES_LIMIT = int(
+    os.environ.get("FLOW_TIMESNET_TAP_STACK_BYTES", 192 * 1024 * 1024)
+)
 
 
 class FoldGeometry(NamedTuple):
@@ -101,15 +108,10 @@ def tap_conv(
     m = rh * (geom.Lp - geom.L)
     padded = jnp.pad(h, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
     window = Lp + 2 * rw
-    w = kernel.reshape(kh, kw * Cin, Cout)
 
-    # Accumulate one kernel row (dc) at a time: the materialised tap stack is
-    # [K, B, Lp, kw*Cin] instead of [K, B, Lp, kh*kw*Cin], dividing peak
-    # memory by kh (matters at long context), while each partial matmul stays
-    # MXU-shaped.
-    out = jnp.zeros((K, B, Lp, Cout), jnp.float32)
-    for i, dc in enumerate(range(-rh, rh + 1)):
-        # Shift by the traced dc * p_k: batched dynamic_slice over candidates.
+    def row_taps(dc: int):
+        """All kw masked taps for kernel row dc: [K, B, Lp, kw*Cin]."""
+
         starts = m + dc * geom.periods  # [K], in [0, 2m]
 
         def slice_one(hk: Array, s: Array) -> Array:
@@ -123,10 +125,28 @@ def tap_conv(
             col_ok = ((geom.col + dj) >= 0) & ((geom.col + dj) < geom.periods[:, None])
             mask = (row_ok & col_ok)[:, None, :, None]  # [K, 1, Lp, 1]
             taps.append(tap * mask.astype(tap.dtype))
-        stack = jnp.concatenate(taps, axis=-1)  # [K, B, Lp, kw*Cin]
-        out = out + jnp.einsum(
-            "kbtc,co->kbto", stack, w[i], preferred_element_type=jnp.float32
+        return jnp.concatenate(taps, axis=-1)
+
+    # Strategy is a static size trade-off: one [K, B, Lp, kh*kw*Cin] stack +
+    # a single big matmul compiles much faster and fuses best, but its
+    # footprint grows kh-fold; above the threshold we accumulate one kernel
+    # row at a time (same math, peak memory / kh — matters at long context).
+    stack_bytes = K * B * Lp * kh * kw * Cin * h.dtype.itemsize
+    if stack_bytes <= _FULL_STACK_BYTES_LIMIT:
+        full = jnp.concatenate([row_taps(dc) for dc in range(-rh, rh + 1)], axis=-1)
+        out = jnp.einsum(
+            "kbtc,co->kbto",
+            full,
+            kernel.reshape(kh * kw * Cin, Cout),
+            preferred_element_type=jnp.float32,
         )
+    else:
+        w = kernel.reshape(kh, kw * Cin, Cout)
+        out = jnp.zeros((K, B, Lp, Cout), jnp.float32)
+        for i, dc in enumerate(range(-rh, rh + 1)):
+            out = out + jnp.einsum(
+                "kbtc,co->kbto", row_taps(dc), w[i], preferred_element_type=jnp.float32
+            )
     return out + bias.astype(out.dtype)
 
 
