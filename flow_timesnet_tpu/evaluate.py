@@ -30,6 +30,10 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
     if isinstance(cfg, dict):
         cfg = PipelineConfig.from_mapping(cfg)
     cfg_used = cfg.to_dict()
+
+    from .train import _pin_platform
+
+    _pin_platform(cfg_used.get("train", {}).get("device"))
     art_dir = cfg_used.get("artifacts", {}).get("dir", "outputs/artifacts")
     fc = Forecaster.from_artifacts(
         art_dir,

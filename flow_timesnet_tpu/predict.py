@@ -304,6 +304,10 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
     active_cfg = PipelineConfig.from_mapping(merged)
     cfg_used = active_cfg.to_dict()
 
+    from .train import _pin_platform
+
+    _pin_platform(cfg_used.get("train", {}).get("device"))
+
     metadata_path = os.path.join(art_dir, cfg_used["artifacts"].get("metadata_file", "metadata.json"))
     try:
         metadata_artifact = metadata_utils.load_metadata_artifact(metadata_path)

@@ -188,6 +188,21 @@ def _floor_for_batch(batch, sigma_vector: Optional[np.ndarray]):
     return gathered.reshape(-1, 1, 1).astype(np.float32)
 
 
+def _pin_platform(device_req: Optional[str]) -> None:
+    """Honor ``train.device: cpu`` (reference ``_select_device`` analogue).
+
+    Best effort: platform selection only takes effect before the first
+    backend initialisation in the process; afterwards JAX keeps whatever is
+    live (a warning is not worth raising — tests pin the platform up front).
+    """
+
+    if str(device_req or "").lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 - backend already initialised
+            pass
+
+
 def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
     if isinstance(cfg, PipelineConfig):
         pipeline_cfg = cfg
@@ -206,6 +221,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     train_section = cfg.setdefault("train", {})
     train_section.setdefault("val", {})
 
+    _pin_platform(cfg["train"].get("device"))
     deterministic = bool(cfg["train"].get("deterministic", False))
     seed = int(cfg.get("tuning", {}).get("seed", 2025))
     root_key = seed_everything(seed, deterministic=deterministic)
