@@ -462,3 +462,72 @@ def test_training_dynamics_match_reference():
         our_losses.append(float(loss))
 
     np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-4, atol=2e-5)
+
+
+def test_full_forward_fuzz_random_architectures():
+    """Randomized architectures (dims, kernel sets, flags) must all match the
+    reference with transplanted weights — catches flag interactions the fixed
+    variant matrix misses."""
+
+    import flax
+
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        kernel_pool = [(3, 3), (5, 5), (1, 3), (3, 5), (7, 7)]
+        n_kernels = int(rng.integers(1, 3))
+        kernel_set = tuple(
+            kernel_pool[i] for i in rng.choice(len(kernel_pool), n_kernels, replace=False)
+        )
+        overrides = dict(
+            input_len=int(rng.integers(12, 40)),
+            pred_len=int(rng.integers(2, 8)),
+            d_model=int(rng.integers(2, 5)) * 4,
+            d_ff=int(rng.integers(2, 7)) * 4,
+            n_layers=int(rng.integers(1, 3)),
+            k_periods=int(rng.integers(1, 4)),
+            kernel_set=kernel_set,
+            bottleneck_ratio=float(rng.choice([1.0, 2.0, 4.0])),
+            min_period_threshold=int(rng.integers(1, 5)),
+            activation=str(rng.choice(["gelu", "relu"])),
+            mode=str(rng.choice(["direct", "recursive"])),
+            use_zero_mean_context=bool(rng.integers(0, 2)),
+            context_rank=int(rng.integers(1, 5)),
+            use_constant_context_bias=bool(rng.integers(0, 2)),
+            static_layernorm=bool(rng.integers(0, 2)),
+            embed_norm_mode=str(rng.choice(["decoupled", "layer", "rms", "none"])),
+            id_embed_dim=int(rng.integers(1, 5)),
+            static_proj_dim=int(rng.integers(2, 7)),
+            time_features=int(rng.integers(1, 6)),
+        )
+        cfg, tmodel = _build_pair(seed=trial, **overrides)
+        B = 3
+        x, marks, static, ids = _warmup_inputs(cfg, B, seed=trial)
+        with torch.no_grad():
+            t_rate, t_disp = tmodel(
+                torch.from_numpy(x), x_mark=torch.from_numpy(marks),
+                series_static=torch.from_numpy(static), series_ids=torch.from_numpy(ids),
+            )
+        model = TimesNet(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+            deterministic=True,
+        )
+        flat_init = flax.traverse_util.flatten_dict(variables["params"])
+        flat_new = flax.traverse_util.flatten_dict(convert_timesnet_state(tmodel, cfg))
+        ctx = dict(trial=trial, **{k: v for k, v in overrides.items() if k != "kernel_set"})
+        assert set(flat_init) == set(flat_new), (ctx, set(flat_init) ^ set(flat_new))
+        params = flax.traverse_util.unflatten_dict(
+            {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
+        )
+        rate, disp = model.apply(
+            {"params": params},
+            jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
+            deterministic=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rate), t_rate.numpy(), rtol=2e-4, atol=2e-4, err_msg=str(ctx)
+        )
+        np.testing.assert_allclose(
+            np.asarray(disp), t_disp.numpy(), rtol=2e-4, atol=2e-4, err_msg=str(ctx)
+        )
