@@ -55,8 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(
             "--override",
             nargs="*",
+            action="append",
             default=[],
-            help="Dotted key=value overrides (e.g. window.input_len=64)",
+            help=(
+                "Dotted key=value overrides (e.g. window.input_len=64); "
+                "repeatable and accepts multiple pairs per flag"
+            ),
         )
 
     p_train = sub.add_parser("train", help="Train and emit artifacts")
@@ -82,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
+    # --override is repeatable (action=append) and multi-valued (nargs=*):
+    # argparse yields a list of lists — flatten before config parsing.
+    args.override = [o for group in args.override for o in group]
     args.func(args)
 
 

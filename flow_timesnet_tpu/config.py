@@ -393,6 +393,8 @@ class TrainConfig:
     prefetch_factor: int = 2
     channels_last: bool = False  # retained for config compat; XLA picks layouts
     use_loss_masking: bool = False
+    dcn_slices: int = 1  # >1: 2-D (dcn, data) mesh for multi-slice DP
+    shard_embedding: str = "auto"  # auto|true|false: row-shard the id table
     val_strategy: str = "holdout"
     val_holdout_days: Optional[int] = None
     val_rolling_folds: Optional[int] = None
@@ -423,6 +425,8 @@ class TrainConfig:
         "prefetch_factor": _as_int,
         "channels_last": _as_bool,
         "use_loss_masking": _as_bool,
+        "dcn_slices": lambda v: max(1, int(v)),
+        "shard_embedding": lambda v: str(v).lower(),
     }
 
     @classmethod

@@ -278,7 +278,7 @@ class WindowBatcher:
             idx = order[n_full * self.batch_size :]
             batch = self._gather_global(idx, rng)
             if self.pad_final and rem < self.batch_size:
-                batch = _pad_batch(batch, self.batch_size)
+                batch = pad_batch_rows(batch, self.batch_size)
             yield batch
 
 
@@ -320,7 +320,9 @@ def _take_batch(batch: WindowBatch, idx: np.ndarray) -> WindowBatch:
     )
 
 
-def _pad_batch(batch: WindowBatch, target: int) -> WindowBatch:
+def pad_batch_rows(batch: WindowBatch, target: int) -> WindowBatch:
+    """Pad a batch to ``target`` rows with zero-filled, row_valid=0 rows."""
+
     cur = batch.x.shape[0]
     if cur >= target:
         return batch

@@ -190,9 +190,15 @@ class Engine:
         base = _base_mask(y, batch["mask"], batch.get("row_valid"), self.use_loss_masking)
         nbm = negative_binomial_mask(y, rate, dispersion, base)
         loss = negative_binomial_nll(y, rate, dispersion, nbm)
+        rv = batch.get("row_valid")
+        if rv is not None:
+            # coverage over real rows only (DP padding adds row_valid=0 rows)
+            total = rv.astype(jnp.float32).sum() * float(y.shape[1] * y.shape[2])
+        else:
+            total = jnp.asarray(float(np.prod(y.shape)), jnp.float32)
         stats = {
             "mask_true": nbm.sum().astype(jnp.float32),
-            "mask_total": jnp.asarray(float(np.prod(y.shape)), jnp.float32),
+            "mask_total": total,
         }
         return loss, stats
 

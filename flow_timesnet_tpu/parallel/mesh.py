@@ -1,10 +1,22 @@
 """Device mesh + sharding helpers (the explicit parallelism layer).
 
 The reference is single-device (SURVEY.md §2.9); this module adds first-class
-data parallelism the TPU way: a 1-D ``jax.sharding.Mesh`` over all local
-devices, batch-dim ``NamedSharding`` on inputs, replicated parameters, and
-XLA-inserted gradient all-reduce over ICI. No explicit collectives are
-needed — jit sees the shardings and does the rest.
+data parallelism the TPU way: a ``jax.sharding.Mesh`` over the local (and,
+for multi-slice deployments, DCN-connected) devices, batch-dim
+``NamedSharding`` on inputs, replicated parameters (optionally a row-sharded
+series-embedding table for high-cardinality runs), and XLA-inserted gradient
+all-reduce over ICI. No explicit collectives are needed — jit sees the
+shardings and does the rest.
+
+Mesh layouts:
+
+- 1-D ``("data",)`` — single-slice data parallelism over ICI (the default).
+- 2-D ``("dcn", "data")`` — multi-slice: the batch is sharded over both axes
+  (outer axis rides DCN, inner axis rides ICI), parameters stay replicated
+  per slice so the gradient all-reduce is hierarchical (XLA reduces over ICI
+  first, then across DCN). On a real multi-slice deployment the mesh comes
+  from ``mesh_utils.create_hybrid_device_mesh``; single-process (and the
+  virtual CPU mesh used in tests) falls back to a reshape of local devices.
 """
 
 from __future__ import annotations
@@ -16,28 +28,64 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
-    """Build a 1-D mesh over the first ``n_devices`` local devices."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = DATA_AXIS,
+    dcn_slices: int = 1,
+) -> Mesh:
+    """Build the data-parallel mesh.
+
+    ``dcn_slices > 1`` produces a 2-D ``(dcn, data)`` mesh: on a multi-process
+    (multi-slice) runtime the device grid comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so the outer axis maps onto DCN;
+    otherwise the local devices are reshaped (virtual-mesh testing).
+    """
 
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[: int(n_devices)]
-    return Mesh(np.asarray(devices), (axis,))
+    dcn_slices = max(1, int(dcn_slices))
+    if dcn_slices == 1:
+        return Mesh(np.asarray(devices), (axis,))
+    if len(devices) % dcn_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices cannot be split into {dcn_slices} DCN slices"
+        )
+    per_slice = len(devices) // dcn_slices
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_slice),
+            dcn_mesh_shape=(dcn_slices, 1),
+            devices=devices,
+        )
+        return Mesh(grid.reshape(dcn_slices, per_slice), (DCN_AXIS, axis))
+    return Mesh(
+        np.asarray(devices).reshape(dcn_slices, per_slice), (DCN_AXIS, axis)
+    )
 
 
-def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) axis across the mesh."""
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across every mesh axis."""
 
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard a 2-D [vocab, dim] table across every mesh axis."""
+
+    return NamedSharding(mesh, P(tuple(mesh.axis_names), None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
     """Device-put a pytree of host arrays with the batch axis sharded.
 
     Arrays whose leading dim is not divisible by the mesh size are
@@ -45,7 +93,7 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
     """
 
     n = mesh.devices.size
-    spec_b = batch_sharding(mesh, axis)
+    spec_b = batch_sharding(mesh)
     spec_r = replicated(mesh)
 
     def put(x):
@@ -62,3 +110,40 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     spec = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), tree)
+
+
+def _path_names(path) -> tuple:
+    return tuple(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+
+
+def shard_train_state(
+    mesh: Mesh,
+    state: Any,
+    *,
+    shard_tables: bool = False,
+    table_name: str = "series_embedding",
+) -> Any:
+    """Place a TrainState on the mesh: replicate everything, optionally
+    row-sharding the series-embedding table (and its optimizer moments, which
+    mirror the param tree) for high-cardinality runs (BASELINE config #5).
+
+    Tables whose row count does not divide the mesh size stay replicated.
+    """
+
+    n = mesh.devices.size
+    spec_r = replicated(mesh)
+    spec_t = table_sharding(mesh)
+
+    def put(path, leaf):
+        if leaf is None:
+            return None
+        if (
+            shard_tables
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[0] % n == 0
+            and table_name in _path_names(path)
+        ):
+            return jax.device_put(leaf, spec_t)
+        return jax.device_put(leaf, spec_r)
+
+    return jax.tree_util.tree_map_with_path(put, state)

@@ -31,11 +31,11 @@ from .data.pivot import fit_series_scaler, pivot_long_to_wide, transform_datafra
 from .data.schema import DataSchema
 from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
-from .data.windows import build_batcher
+from .data.windows import build_batcher, pad_batch_rows
 from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
-from .parallel.mesh import make_mesh, replicate, shard_batch
+from .parallel.mesh import make_mesh, shard_batch, shard_train_state
 from .utils import artifacts as artifacts_io
 from .utils import metadata as metadata_utils
 from .utils.logging import console, print_config
@@ -468,19 +468,45 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     init_dev = batch_to_device(first_batch, floor=_floor_for_batch(first_batch, sigma_vector))
     state = engine.init_state(root_key, init_dev)
 
-    # Data parallelism: batch-shard over all local devices when the batch
-    # divides evenly (params replicated; XLA inserts the gradient all-reduce).
+    # Data parallelism: batch-shard over all local devices (params replicated
+    # except, optionally, the series-embedding table; XLA inserts the gradient
+    # all-reduce). Batches whose row count does not divide the mesh are padded
+    # with row_valid=0 rows instead of silently dropping to single-device.
+    # ``train.dcn_slices > 1`` selects the 2-D multi-slice mesh.
     n_devices = len(jax.devices())
     mesh = None
-    if n_devices > 1 and batch_size % n_devices == 0:
-        mesh = make_mesh()
-        state = replicate(mesh, state)
+    dp_batch_rows = batch_size
+    shard_tables = False
+    dp_enabled = str(cfg["train"].get("data_parallel", "auto")).lower() not in (
+        "off", "false", "0", "no",
+    )
+    if n_devices > 1 and dp_enabled:
+        mesh = make_mesh(dcn_slices=int(cfg["train"].get("dcn_slices", 1) or 1))
+        mesh_size = int(mesh.devices.size)
+        dp_batch_rows = -(-batch_size // mesh_size) * mesh_size
+        shard_emb_raw = str(cfg["train"].get("shard_embedding", "auto")).lower()
+        vocab = tn_cfg.id_vocab
+        want_shard = (
+            vocab >= 2048 if shard_emb_raw == "auto"
+            else shard_emb_raw in ("true", "1", "yes", "on")
+        )
+        shard_tables = want_shard and vocab % mesh_size == 0
+        if want_shard and not shard_tables:
+            console().print(
+                f"[yellow]shard_embedding requested but id_vocab={vocab} does not "
+                f"divide the mesh size {mesh_size}; table stays replicated[/yellow]"
+            )
+        state = shard_train_state(mesh, state, shard_tables=shard_tables)
         console().print(
-            f"[bold green]Data parallel:[/bold green] batch {batch_size} sharded "
-            f"over {n_devices} devices"
+            f"[bold green]Data parallel:[/bold green] batch {batch_size}"
+            + (f" (padded to {dp_batch_rows})" if dp_batch_rows != batch_size else "")
+            + f" sharded over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+            + (" · embedding table row-sharded" if shard_tables else "")
         )
 
     def to_device(batch):
+        if mesh is not None and batch.x.shape[0] < dp_batch_rows:
+            batch = pad_batch_rows(batch, dp_batch_rows)
         dev = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
         if mesh is not None:
             dev = shard_batch(mesh, dev)
@@ -535,7 +561,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     if resume_enabled and os.path.exists(train_state_path):
         state, resume_extra = artifacts_io.load_train_state(train_state_path, state)
         if mesh is not None:
-            state = replicate(mesh, state)
+            state = shard_train_state(mesh, state, shard_tables=shard_tables)
         start_epoch = int(resume_extra.get("epoch", 0)) + 1
         best_nll = float(resume_extra.get("best_nll", best_nll))
         best_smape = float(resume_extra.get("best_smape", best_smape))
@@ -592,7 +618,13 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
                 )
                 losses.extend(float(v) for v in np.asarray(chunk_losses))
                 mask_true_total += float(np.asarray(mask_true).sum())
-                mask_total += sum(float(np.prod(b["y"].shape)) for b in chunk)
+                mask_total += sum(
+                    float(np.asarray(b["row_valid"]).sum())
+                    * float(b["y"].shape[1] * b["y"].shape[2])
+                    if b.get("row_valid") is not None
+                    else float(np.prod(b["y"].shape))
+                    for b in chunk
+                )
             else:  # tail chunk: fall back to per-step
                 for key, b in zip(chunk_keys, chunk):
                     state, loss, stats = engine.train_step(state, lr, key, b, True)

@@ -83,3 +83,118 @@ def test_dp_eval_matches_single_device(setup):
     assert dp["nll"] == pytest.approx(single["nll"], rel=1e-5)
     assert dp["smape"] == pytest.approx(single["smape"], rel=1e-5)
     np.testing.assert_allclose(dp["series_sums"], single["series_sums"], rtol=1e-5)
+
+
+def test_dp_padded_indivisible_batch_matches_single(setup):
+    """B=30 does not divide the 8-device mesh; padding with row_valid=0 rows
+    must leave the loss and the updated params bit-compatible."""
+
+    from flow_timesnet_tpu.data.windows import WindowBatch, pad_batch_rows
+
+    cfg, engine, batch = setup
+    key = jax.random.PRNGKey(0)
+    idx = np.arange(30)
+    small = {k: (v[idx] if v is not None and getattr(v, "ndim", 0) >= 1 else v)
+             for k, v in batch.items()}
+
+    losses_single = []
+    s_single = engine.init_state(key, small)
+    for i in range(3):
+        s_single, loss, _ = engine.train_step(
+            s_single, 1e-3, jax.random.fold_in(key, i), small, True
+        )
+        losses_single.append(float(loss))
+
+    host = WindowBatch(
+        x=np.asarray(small["x"]), y=np.asarray(small["y"]),
+        mask=np.asarray(small["mask"]), x_mark=np.asarray(small["x_mark"]),
+        y_mark=None, static=np.asarray(small["static"]),
+        series_ids=np.asarray(small["ids"]),
+        row_valid=np.asarray(small["row_valid"]),
+    )
+    padded = pad_batch_rows(host, 32)
+    assert padded.x.shape[0] == 32 and float(padded.row_valid.sum()) == 30.0
+
+    mesh = make_mesh()
+    dp_batch = shard_batch(mesh, {
+        "x": padded.x, "y": padded.y, "mask": padded.mask,
+        "x_mark": padded.x_mark, "y_mark": None, "static": padded.static,
+        "ids": padded.series_ids.astype(np.int32), "row_valid": padded.row_valid,
+    })
+    s_dp = replicate(mesh, engine.init_state(key, dp_batch))
+    losses_dp = []
+    for i in range(3):
+        s_dp, loss, _ = engine.train_step(
+            s_dp, 1e-3, jax.random.fold_in(key, i), dp_batch, True
+        )
+        losses_dp.append(float(loss))
+    np.testing.assert_allclose(losses_dp, losses_single, rtol=1e-5, atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_dp.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s_single.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_embedding_sharded_state_matches_replicated(setup):
+    """Row-sharding the series-embedding table (high-cardinality regime) is a
+    layout change only: losses and params must match the replicated run."""
+
+    from flow_timesnet_tpu.parallel.mesh import shard_train_state, table_sharding
+
+    cfg, engine, batch = setup
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh()
+    dp_batch = shard_batch(mesh, batch)
+
+    # two independent (identical-valued) states: train_step donates its input,
+    # and device_put aliases buffers when the sharding already matches
+    s_rep = replicate(mesh, engine.init_state(key, dp_batch))
+    s_shard = shard_train_state(
+        mesh, engine.init_state(key, dp_batch), shard_tables=True
+    )
+
+    emb = s_shard.params["series_embedding"]["embedding"]
+    assert emb.sharding == table_sharding(mesh)
+
+    for i in range(3):
+        s_rep, loss_r, _ = engine.train_step(
+            s_rep, 1e-3, jax.random.fold_in(key, i), dp_batch, True
+        )
+        s_shard, loss_s, _ = engine.train_step(
+            s_shard, 1e-3, jax.random.fold_in(key, i), dp_batch, True
+        )
+        assert float(loss_s) == pytest.approx(float(loss_r), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_shard.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s_rep.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_dcn_2x4_mesh_matches_single_device(setup):
+    """Multi-slice 2-D (dcn, data) mesh: batch sharded over both axes must
+    reproduce the single-device trajectory (SURVEY §2.9 DCN story)."""
+
+    cfg, engine, batch = setup
+    key = jax.random.PRNGKey(0)
+
+    s_single = engine.init_state(key, batch)
+    losses_single = []
+    for i in range(3):
+        s_single, loss, _ = engine.train_step(
+            s_single, 1e-3, jax.random.fold_in(key, i), batch, True
+        )
+        losses_single.append(float(loss))
+
+    mesh = make_mesh(dcn_slices=2)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+    dp_batch = shard_batch(mesh, batch)
+    s_dp = replicate(mesh, engine.init_state(key, batch))
+    losses_dp = []
+    for i in range(3):
+        s_dp, loss, _ = engine.train_step(
+            s_dp, 1e-3, jax.random.fold_in(key, i), dp_batch, True
+        )
+        losses_dp.append(float(loss))
+    np.testing.assert_allclose(losses_dp, losses_single, rtol=1e-5, atol=1e-6)

@@ -192,3 +192,17 @@ def test_dependency_bootstrap():
     key, devices = bootstrap(seed=1)
     assert len(devices) >= 1
     assert key is not None
+
+
+def test_cli_override_repeatable_and_multivalued():
+    """--override must accept repeated flags AND multiple pairs per flag
+    (argparse nargs=* without append silently kept only the last flag)."""
+
+    from flow_timesnet_tpu.cli import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(
+        ["train", "--override", "a.b=1", "--override", "c.d=2", "e.f=3"]
+    )
+    flat = [o for group in args.override for o in group]
+    assert flat == ["a.b=1", "c.d=2", "e.f=3"]
