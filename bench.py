@@ -1,14 +1,27 @@
-"""Benchmark: training throughput (series-windows/sec/chip) on the flagship
-demand recipe (BASELINE config #2 shapes: L=28, H=7, d_model=128, d_ff=512,
-2 TimesBlocks, kernels 3/5/7 with bottleneck 4, ID+static embeddings, LRTC).
+"""Benchmark: all three driver metrics (BASELINE.json) on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (the JSON line's value): training throughput in
+series-windows/sec/chip on the flagship demand recipe (BASELINE config #2:
+L=28, H=7, d_model=128, d_ff=512, 2 TimesBlocks, kernels 3/5/7 bottleneck 4,
+ID+static embeddings, LRTC, bf16). The line's ``extra`` dict carries the
+rest: ms/step + an MFU estimate, predict p50 latency (direct + recursive
+lax.scan decode), the on-chip NB-NLL delta vs the PyTorch reference loss, and
+train throughput for the long-context (L=512, config #4) and
+high-cardinality (N=10k, config #5) shapes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The reference publishes no absolute throughput numbers (BASELINE.json
 "published" is empty), so vs_baseline is measured live: the PyTorch
 reference implementation (mounted read-only) trains the same shapes on this
 host's CPU — its only runnable backend here — and vs_baseline is
 ours / reference. Falls back to 1.0 when the reference checkout or torch is
 unavailable.
+
+Timing method: every measurement is a single device dispatch (lax.scan over
+stacked batches) terminated by a scalar VALUE fetch — honest end-to-end
+completion even through relays whose block_until_ready acks early — and the
+per-step time is the slope between two scan lengths, cancelling the constant
+dispatch/fetch round-trip (STATUS.md "Environment caveats").
 """
 
 from __future__ import annotations
@@ -19,39 +32,26 @@ import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s per chip by device kind (dense); fallback conservative.
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
-def main() -> None:
-    import os
 
+def _make_engine_and_batch(cfg, batch):
     import jax
-
-    # persistent compile cache: repeat bench runs (and identical driver
-    # rounds) skip the expensive (possibly remote) compilation
-    cache_dir = os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "flow_timesnet_tpu", "jax_cache",
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    sys.path.insert(0, ".")
-    from __graft_entry__ import _example_batch, _flagship_cfg
-    from flow_timesnet_tpu.engine import Engine
     import jax.numpy as jnp
 
-    batch = 256
-    cfg = _flagship_cfg(compute_dtype="bfloat16")
-    engine = Engine(
-        cfg,
-        use_loss_masking=True,
-        grad_clip_norm=1.0,
-        weight_decay=1e-6,
-        num_series=cfg.id_vocab,
-    )
+    from __graft_entry__ import _example_batch
+    from flow_timesnet_tpu.engine import Engine
+
+    engine = Engine(cfg, use_loss_masking=True, grad_clip_norm=1.0,
+                    weight_decay=1e-6, num_series=cfg.id_vocab)
     x, marks, static, ids, y = _example_batch(cfg, batch)
     dev_batch = {
         "x": jnp.asarray(x),
@@ -64,53 +64,232 @@ def main() -> None:
         "row_valid": jnp.ones(batch, jnp.float32),
     }
     state = engine.init_state(jax.random.PRNGKey(0), dev_batch)
+    return engine, state, dev_batch
 
-    # warmup / compile
+
+def _train_step_time(engine, state, dev_batch, n1=8, n2=32, reps=2):
+    """Best per-step seconds via the two-length scan slope."""
+
+    import jax
+    import jax.numpy as jnp
+
     rng = jax.random.PRNGKey(1)
-    for i in range(3):
-        state, loss, _ = engine.train_step(state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True)
+    for i in range(2):
+        state, loss, _ = engine.train_step(
+            state, 1e-4, jax.random.fold_in(rng, i), dev_batch, True
+        )
     jax.block_until_ready(state.params)
 
-    # Differential timing over two fused scan lengths: each run is ONE device
-    # dispatch (lax.scan over stacked batches) ended by a scalar VALUE fetch
-    # (true end-to-end completion even through relays whose block_until_ready
-    # acks early). The per-step time is the slope between the two lengths,
-    # which cancels the constant dispatch/fetch round-trip latency.
     def make_stacked(steps: int):
         stacked = jax.tree_util.tree_map(
             lambda x: (
-                jnp.broadcast_to(x[None], (steps,) + x.shape) if x is not None else None
+                jnp.broadcast_to(x[None], (steps,) + x.shape)
+                if x is not None
+                else None
             ),
             dev_batch,
         )
         keys = jnp.stack([jax.random.fold_in(rng, 100 + i) for i in range(steps)])
         return stacked, keys
 
-    n1, n2 = 8, 32
     runs = {n: make_stacked(n) for n in (n1, n2)}
+    holder = {"state": state}
 
     def timed_run(n_steps: int) -> float:
-        nonlocal state
         stacked, keys = runs[n_steps]
         t0 = time.perf_counter()
-        state, losses, _ = engine.train_steps_scanned(state, 1e-4, keys, stacked)
+        holder["state"], losses, _ = engine.train_steps_scanned(
+            holder["state"], 1e-4, keys, stacked
+        )
         _ = float(losses[-1])
         return time.perf_counter() - t0
 
     timed_run(n1)  # compile + settle
     timed_run(n2)
-    best_step = float("inf")
-    for _ in range(2):
+    best = float("inf")
+    for _ in range(reps):
         e1 = timed_run(n1)
         e2 = timed_run(n2)
-        step_time = max((e2 - e1) / (n2 - n1), 1e-9)
-        best_step = min(best_step, step_time)
-    windows_per_sec = batch / best_step
+        best = min(best, max((e2 - e1) / (n2 - n1), 1e-9))
+    return best
+
+
+def _train_step_flops(engine, state, dev_batch):
+    import jax
+
+    lowered = jax.jit(
+        lambda st, b: engine._train_step_impl(
+            st, 1e-4, jax.random.PRNGKey(1), b, do_update=True
+        )
+    ).lower(state, dev_batch)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def _predict_p50_ms(engine, state, dev_batch, horizon, recursive, reps=21):
+    """End-to-end single-batch inference latency (dispatch + compute + fetch)."""
+
+    import jax.numpy as jnp
+
+    x = dev_batch["x"]
+    marks = dev_batch["x_mark"]
+    if recursive:
+        y_mark = (
+            jnp.zeros((x.shape[0], horizon, marks.shape[-1]), marks.dtype)
+            if marks is not None
+            else None
+        )
+
+        def run():
+            rate, _ = engine.rollout(
+                state.params, x, horizon, x_mark=marks, y_mark=y_mark,
+                static=dev_batch["static"], ids=dev_batch["ids"],
+            )
+            return float(rate[0, 0, 0])
+
+    else:
+
+        def run():
+            rate, _ = engine.forward(
+                state.params, x, x_mark=marks,
+                static=dev_batch["static"], ids=dev_batch["ids"],
+            )
+            return float(rate[0, 0, 0])
+
+    run()  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def _nb_nll_delta_vs_torch() -> float:
+    """On-chip NB-NLL vs the reference loss on identical random tensors."""
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, "/root/reference/src")
+    from timesnet_forecast.losses import negative_binomial_nll as ref_nll
+
+    from flow_timesnet_tpu.losses import negative_binomial_mask, negative_binomial_nll
+
+    rng = np.random.default_rng(0)
+    y = rng.poisson(4.0, (64, 7, 16)).astype(np.float32)
+    rate = np.abs(rng.normal(4.0, 2.0, y.shape)).astype(np.float32) + 1e-3
+    disp = np.abs(rng.normal(0.3, 0.2, y.shape)).astype(np.float32) + 1e-3
+
+    @jax.jit
+    def ours(y_, r_, d_):
+        m = negative_binomial_mask(y_, r_, d_, jnp.ones_like(y_, bool))
+        return negative_binomial_nll(y_, r_, d_, m)
+
+    ours_val = float(ours(jnp.asarray(y), jnp.asarray(rate), jnp.asarray(disp)))
+    ref_val = float(
+        ref_nll(torch.from_numpy(y), torch.from_numpy(rate), torch.from_numpy(disp))
+    )
+    return abs(ours_val - ref_val)
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "flow_timesnet_tpu", "jax_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_cfg
+
+    extra = {}
+    device_kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    extra["device"] = device_kind
+
+    # ---- primary: flagship train throughput (BASELINE config #2 shapes)
+    batch = 256
+    cfg = _flagship_cfg(compute_dtype="bfloat16")
+    engine, state, dev_batch = _make_engine_and_batch(cfg, batch)
+    step_s = _train_step_time(engine, state, dev_batch)
+    windows_per_sec = batch / step_s
+    extra["ms_per_step"] = round(step_s * 1e3, 3)
+    try:
+        flops = _train_step_flops(engine, state, dev_batch)
+        peak = _PEAK_TFLOPS.get(device_kind, 100.0) * 1e12
+        extra["flops_per_step_gf"] = round(flops / 1e9, 1)
+        extra["mfu_pct"] = round(100.0 * flops / step_s / peak, 2)
+    except Exception:
+        pass
+
+    # ---- predict p50 latency (direct + recursive from the same checkpoint)
+    try:
+        pcfg = _flagship_cfg(compute_dtype="bfloat16")
+        pengine, pstate, pbatch = _make_engine_and_batch(pcfg, 192)
+        extra["predict_p50_ms_direct"] = round(
+            _predict_p50_ms(pengine, pstate, pbatch, pcfg.pred_len, False), 2
+        )
+        extra["predict_p50_ms_recursive"] = round(
+            _predict_p50_ms(pengine, pstate, pbatch, pcfg.pred_len, True), 2
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["predict_error"] = str(e)[:200]
+
+    # ---- NB-NLL parity delta (driver metric #2)
+    try:
+        extra["nb_nll_delta_vs_torch"] = float(f"{_nb_nll_delta_vs_torch():.2e}")
+    except Exception as e:  # noqa: BLE001
+        extra["nb_nll_error"] = str(e)[:200]
+
+    # ---- long-context shape (BASELINE config #4: L=512)
+    try:
+        lc = _flagship_cfg(
+            input_len=512, pred_len=24, d_ff=256, k_periods=4,
+            kernel_set=((3, 3), (5, 5)), compute_dtype="bfloat16",
+            min_period_threshold=2,
+        )
+        lc_b = 64
+        lc_engine, lc_state, lc_batch = _make_engine_and_batch(lc, lc_b)
+        lc_step = _train_step_time(lc_engine, lc_state, lc_batch, n1=4, n2=12, reps=1)
+        extra["long_context_L512"] = {
+            "windows_per_s": round(lc_b / lc_step, 1),
+            "ms_per_step": round(lc_step * 1e3, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extra["long_context_error"] = str(e)[:200]
+
+    # ---- high-cardinality shape (BASELINE config #5: N ~= 10k series)
+    try:
+        hc = _flagship_cfg(
+            id_vocab=10_000, context_rank=16, compute_dtype="bfloat16",
+        )
+        hc_b = 512
+        hc_engine, hc_state, hc_batch = _make_engine_and_batch(hc, hc_b)
+        hc_step = _train_step_time(hc_engine, hc_state, hc_batch, n1=4, n2=12, reps=1)
+        extra["high_cardinality_N10k"] = {
+            "windows_per_s": round(hc_b / hc_step, 1),
+            "ms_per_step": round(hc_step * 1e3, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extra["high_cardinality_error"] = str(e)[:200]
 
     vs_baseline = 1.0
     try:
         ref_wps = _reference_windows_per_sec(batch)
         if ref_wps and ref_wps > 0:
+            extra["reference_cpu_windows_per_s"] = round(ref_wps, 2)
             vs_baseline = round(float(windows_per_sec) / ref_wps, 2)
     except Exception:
         pass
@@ -122,6 +301,7 @@ def main() -> None:
                 "value": round(float(windows_per_sec), 2),
                 "unit": "windows/s",
                 "vs_baseline": vs_baseline,
+                "extra": extra,
             }
         )
     )

@@ -212,6 +212,7 @@ class ModelConfig:
     period_max_unique: Any = None  # int | per-depth str schedule | None
     period_binning: Any = None  # log base | per-depth str schedule | None
     compute_dtype: str = "float32"  # float32 | bfloat16
+    period_buckets: Any = None  # None | "auto" | cap list: bucketed fold programs
 
     @classmethod
     def from_mapping(cls, mapping: Mapping[str, Any]) -> "ModelConfig":
@@ -251,6 +252,7 @@ class ModelConfig:
             period_max_unique=data.get("period_max_unique"),
             period_binning=data.get("period_binning"),
             compute_dtype=str(data.get("compute_dtype", "float32")),
+            period_buckets=data.get("period_buckets"),
         )
 
     def to_dict(self, window: WindowConfig) -> Dict[str, Any]:
@@ -279,6 +281,7 @@ class ModelConfig:
             "period_max_unique": self.period_max_unique,
             "period_binning": self.period_binning,
             "compute_dtype": self.compute_dtype,
+            "period_buckets": self.period_buckets,
         }
 
 

@@ -42,18 +42,25 @@ def _activation(name: str):
 
 
 class InceptionBranch(nn.Module):
-    """One conv path: plain (kh, kw) conv, or 1x1 -> (kh, kw) -> 1x1 bottleneck."""
+    """One conv path: plain (kh, kw) conv, or 1x1 -> (kh, kw) -> 1x1 bottleneck.
+
+    ``compute_dtype="bfloat16"`` keeps every matmul input (including the big
+    tap stack) in bf16 with fp32 accumulation — without it the fp32 kernel
+    params silently promote the whole stack to fp32 (2x HBM, slower MXU).
+    """
 
     in_ch: int
     out_ch: int
     kernel_size: Tuple[int, int]
     bottleneck_ratio: float = 1.0
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h: Array, geom: FoldGeometry) -> Array:
         kh, kw = self.kernel_size
         tap_conv = resolve_tap_conv(self.use_pallas)
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         if self.bottleneck_ratio <= 0:
             raise ValueError("bottleneck_ratio must be a positive value")
         if math.isclose(self.bottleneck_ratio, 1.0, rel_tol=1e-9, abs_tol=1e-9):
@@ -63,7 +70,7 @@ class InceptionBranch(nn.Module):
             bias = self.param(
                 "conv_bias", torch_bias_init(self.in_ch * kh * kw), (self.out_ch,)
             )
-            return tap_conv(h, geom, kernel, bias, kh, kw)
+            return tap_conv(h.astype(dt), geom, kernel, bias, kh, kw)
         base = min(self.in_ch, self.out_ch)
         mid = max(1, int(math.ceil(base / float(self.bottleneck_ratio))))
         w_in = self.param("reduce_kernel", torch_kernel_init(), (self.in_ch, mid))
@@ -72,8 +79,8 @@ class InceptionBranch(nn.Module):
         b_mid = self.param("conv_bias", torch_bias_init(mid * kh * kw), (mid,))
         w_out = self.param("expand_kernel", torch_kernel_init(), (mid, self.out_ch))
         b_out = self.param("expand_bias", torch_bias_init(mid), (self.out_ch,))
-        h = pointwise_conv(h, w_in, b_in)
-        h = tap_conv(h, geom, w_mid, b_mid, kh, kw)
+        h = pointwise_conv(h.astype(dt), w_in, b_in).astype(dt)
+        h = tap_conv(h, geom, w_mid, b_mid, kh, kw).astype(dt)
         return pointwise_conv(h, w_out, b_out)
 
 
@@ -87,15 +94,17 @@ class InceptionBlock(nn.Module):
     activation: str = "gelu"
     bottleneck_ratio: float = 1.0
     use_pallas: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h: Array, geom: FoldGeometry, deterministic: bool = True) -> Array:
         if not self.kernel_set:
             raise ValueError("kernel_set must contain at least one kernel size")
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         if self.in_ch != self.out_ch:
             w_res = self.param("res_kernel", torch_kernel_init(), (self.in_ch, self.out_ch))
             b_res = self.param("res_bias", torch_bias_init(self.in_ch), (self.out_ch,))
-            res = pointwise_conv(h, w_res, b_res)
+            res = pointwise_conv(h.astype(dt), w_res, b_res)
         else:
             res = h
         feats = [
@@ -105,8 +114,9 @@ class InceptionBlock(nn.Module):
                 kernel_size=(int(kh), int(kw)),
                 bottleneck_ratio=self.bottleneck_ratio,
                 use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
                 name=f"branch_{i}",
-            )(h, geom)
+            )(h, geom).astype(dt)
             for i, (kh, kw) in enumerate(self.kernel_set)
         ]
         z = jnp.concatenate(feats, axis=-1)
@@ -116,7 +126,38 @@ class InceptionBlock(nn.Module):
         z = pointwise_conv(z, w_proj, b_proj)
         z = _activation(self.activation)(z)
         z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
-        return z + res
+        return z + res.astype(z.dtype)
+
+
+def resolve_period_buckets(raw, seq_len: int, p_cap: int) -> Tuple[int, ...]:
+    """Resolve the static period-cap ladder for bucketed compilation.
+
+    ``None``/falsy -> single full-cap program. ``"auto"`` -> caps at
+    ``ceil(L/4)`` and ``ceil(L/2)`` (weekly-ish periods on daily data land in
+    the smallest bucket). An iterable of ints is used verbatim. The ladder is
+    deduplicated, clipped to ``p_cap`` and always terminated by ``p_cap``.
+    """
+
+    if not raw:
+        return (p_cap,)
+    if isinstance(raw, str):
+        text = raw.strip().lower()
+        if text in ("", "off", "none", "false", "0"):
+            return (p_cap,)
+        if text == "auto":
+            caps = [-(-seq_len // 4), -(-seq_len // 2)]
+        else:
+            try:
+                caps = [int(tok) for tok in text.replace(",", " ").split()]
+            except ValueError:
+                return (p_cap,)
+    else:
+        try:
+            caps = [int(c) for c in raw]
+        except TypeError:
+            caps = [int(raw)]
+    ladder = sorted({c for c in caps if 0 < c < p_cap})
+    return tuple(ladder) + (p_cap,)
 
 
 class TimesBlock(nn.Module):
@@ -129,6 +170,14 @@ class TimesBlock(nn.Module):
     default conv island, timesnet.py:1047-1062); when ``conv_dtype`` is
     bfloat16 the taps matmuls use bf16 inputs with f32 accumulation (the
     TIMES_MP_CONV analog).
+
+    ``period_buckets`` (static cap ladder) compiles one conv program per cap
+    and dispatches with ``lax.cond`` on the max *valid* period: a step whose
+    periods fit a small cap runs on a fold extent ``Lp = L + cap`` instead of
+    the worst-case ``L + (L - 1)``, cutting the tap-conv FLOPs/HBM traffic by
+    up to ~2x at flagship shapes. All branches share parameters; results are
+    identical because candidates clamped by a too-small cap are exactly the
+    invalid (zero-weight) ones.
     """
 
     d_model: int
@@ -144,8 +193,50 @@ class TimesBlock(nn.Module):
     max_unique: Optional[int] = None
     conv_dtype: str = "float32"
     use_pallas: bool = False
+    period_buckets: object = None
 
-    @nn.compact
+    def setup(self) -> None:
+        self.inception_in = InceptionBlock(
+            in_ch=self.d_model,
+            out_ch=self.d_ff,
+            kernel_set=self.kernel_set,
+            dropout=self.dropout,
+            activation=self.activation,
+            bottleneck_ratio=self.bottleneck_ratio,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.conv_dtype,
+        )
+        self.inception_out = InceptionBlock(
+            in_ch=self.d_ff,
+            out_ch=self.d_model,
+            kernel_set=self.kernel_set,
+            dropout=self.dropout,
+            activation=self.activation,
+            bottleneck_ratio=self.bottleneck_ratio,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.conv_dtype,
+        )
+
+    def _conv_deltas(
+        self, x: Array, periods: Array, p_cap: int, deterministic: bool
+    ) -> Array:
+        """Per-candidate inception residual deltas [K, B, L, C] on the fold
+        geometry capped at the static ``p_cap``."""
+
+        B, L, C = x.shape
+        K = int(periods.shape[0])
+        geom = make_geometry(periods, L, p_cap)
+        conv_dt = jnp.bfloat16 if self.conv_dtype == "bfloat16" else jnp.float32
+        xg = pad_time(x.astype(jnp.float32), L, geom.Lp)
+        h = jnp.broadcast_to(xg[None], (K, B, geom.Lp, C)).astype(conv_dt)
+        h = self.inception_in(h, geom, deterministic).astype(conv_dt)
+        h = _activation(self.activation)(h)
+        h = self.inception_out(h, geom, deterministic)
+        # Residual delta vs the folded input, cropped to the original length
+        # (the zero-pad tail of the fold is discarded, timesnet.py:1063-1066).
+        delta = h.astype(jnp.float32)[:, :, :L, :] - xg[None, :, :L, :]
+        return delta.astype(x.dtype)
+
     def __call__(
         self,
         x: Array,
@@ -178,38 +269,30 @@ class TimesBlock(nn.Module):
         self.sow("intermediates", "period_valid", grouped.valid)
         self.sow("intermediates", "group_count", grouped.group_count)
         p_cap = min(int(self.p_cap), max(1, L - 1))
-        geom = make_geometry(grouped.periods, L, p_cap)
+        caps = resolve_period_buckets(self.period_buckets, L, p_cap)
 
-        conv_dt = jnp.bfloat16 if self.conv_dtype == "bfloat16" else jnp.float32
-        xg = pad_time(x.astype(jnp.float32), L, geom.Lp)
-        h = jnp.broadcast_to(xg[None], (K, B, geom.Lp, C)).astype(conv_dt)
+        if len(caps) == 1:
+            delta = self._conv_deltas(x, grouped.periods, caps[0], deterministic)
+        else:
+            # Dispatch on the largest period that actually contributes; all
+            # branches share this module's parameters (nn.cond).
+            pmax_valid = jnp.max(
+                jnp.where(grouped.valid, grouped.periods, 1)
+            ).astype(jnp.int32)
 
-        h = InceptionBlock(
-            in_ch=self.d_model,
-            out_ch=self.d_ff,
-            kernel_set=self.kernel_set,
-            dropout=self.dropout,
-            activation=self.activation,
-            bottleneck_ratio=self.bottleneck_ratio,
-            use_pallas=self.use_pallas,
-            name="inception_in",
-        )(h, geom, deterministic).astype(conv_dt)
-        h = _activation(self.activation)(h)
-        h = InceptionBlock(
-            in_ch=self.d_ff,
-            out_ch=self.d_model,
-            kernel_set=self.kernel_set,
-            dropout=self.dropout,
-            activation=self.activation,
-            bottleneck_ratio=self.bottleneck_ratio,
-            use_pallas=self.use_pallas,
-            name="inception_out",
-        )(h, geom, deterministic)
+            def fn_for(cap: int):
+                def fn(mdl: "TimesBlock", xx: Array, pp: Array) -> Array:
+                    return mdl._conv_deltas(xx, pp, cap, deterministic)
 
-        # Residual delta vs the folded input, cropped to the original length
-        # (the zero-pad tail of the fold is discarded, timesnet.py:1063-1066).
-        delta = h.astype(jnp.float32)[:, :, :L, :] - xg[None, :, :L, :]
-        delta = delta.astype(x.dtype)
+                return fn
+
+            branch = fn_for(caps[-1])
+            for cap in reversed(caps[:-1]):
+                def branch(mdl, xx, pp, _cap=cap, _small=fn_for(cap), _big=branch):
+                    return nn.cond(pmax_valid <= _cap, _small, _big, mdl, xx, pp)
+
+            delta = branch(self, x, grouped.periods)
+
         out = combine_residuals(delta, grouped.weights, x)
         # No valid periods -> identity (reference returns x, timesnet.py:796-797).
         return jnp.where(grouped.any_valid, out, x)

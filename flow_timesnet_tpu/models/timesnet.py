@@ -49,6 +49,14 @@ from .period import (
 from .timesblock import TimesBlock
 
 
+def _hashable_buckets(raw):
+    """Module fields must be hashable: coerce list-like bucket specs."""
+
+    if isinstance(raw, (list, set)):
+        return tuple(int(c) for c in raw)
+    return raw
+
+
 @dataclass(frozen=True)
 class TimesNetConfig:
     """Static model hyper-parameters + data dimensions (known pre-init)."""
@@ -87,6 +95,9 @@ class TimesNetConfig:
     period_binning: object = None
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    # bucketed fold compilation: None | "auto" | iterable of static period
+    # caps — see models/timesblock.py::resolve_period_buckets
+    period_buckets: object = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("direct", "recursive"):
@@ -260,6 +271,7 @@ class TimesNet(nn.Module):
                 max_unique=resolve_max_unique(cfg.period_max_unique, i),
                 conv_dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
+                period_buckets=_hashable_buckets(cfg.period_buckets),
                 name=f"blocks_{i}",
             )
 

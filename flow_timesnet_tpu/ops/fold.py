@@ -22,10 +22,23 @@ over the stacked taps, which is MXU-shaped.
 
 Candidates are batched on a leading K axis so all periods from the selector
 run in one fused program.
+
+**Backward is a custom VJP** (not XLA's mechanical transpose): the adjoint of
+a masked-shift convolution is the same masked-shift convolution with negated
+shifts and mirrored masks — ``dL/dh[s] = sum_{dc,dj} mask'(s) *
+ct[s - dc*p - dj] @ W[dc,dj]^T`` with ``mask'(s) = [0 <= col(s)-dj < p] *
+[0 <= row(s)-dc < cycles]`` (change of variables ``s = t + dc*p + dj`` is a
+bijection on valid taps). This keeps the backward in dynamic-slice + matmul
+form; XLA's transpose of the forward would instead scatter-accumulate every
+tap into large zero buffers (measured ~4.4x the forward on a v5e chip).
+``dW`` rebuilds the forward tap stack (cheap recompute; saves the O(kh*kw)
+stack from being kept as a residual) and contracts it with the cotangent in
+one ``[kh*kw*Cin, K*B*Lp] x [K*B*Lp, Cout]`` matmul.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -78,6 +91,189 @@ def pad_time(x: Array, L: int, Lp: int) -> Array:
     return jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
 
 
+def _fwd_mask(
+    periods: Array, cycles: Array, col: Array, row: Array, dc: int, dj: int
+) -> Array:
+    """Forward tap validity at output position t: the Conv2d neighbour
+    ``(row+dc, col+dj)`` stays inside the [cycles, p] grid. [K, Lp] bool."""
+
+    row_ok = ((row + dc) >= 0) & ((row + dc) < cycles[:, None])
+    col_ok = ((col + dj) >= 0) & ((col + dj) < periods[:, None])
+    return row_ok & col_ok
+
+
+def _bwd_mask(
+    periods: Array, cycles: Array, col: Array, Lp: int, dc: int, dj: int
+) -> Array:
+    """Transposed tap validity at input position s (dc-independent).
+
+    A forward tap (dc, dj) contributes ct[t] with t = s - dc*p - dj iff the
+    forward mask held at t. Change of variables (dc*p = 0 mod p):
+    col(t) = (col(s) - dj) mod p =: c', and row(t) + dc = floor((s - dj) / p),
+    so the condition becomes ``0 <= c' + dj < p`` and
+    ``0 <= floor((s - dj) / p) < cycles`` — no dc dependence, which lets the
+    backward share one padded cotangent buffer across kernel rows exactly
+    like the forward. (t outside [0, Lp) is handled by the buffer's zeros.)
+    """
+
+    p = periods[:, None]
+    s_idx = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    c2 = (col - dj) % p
+    col_ok = ((c2 + dj) >= 0) & ((c2 + dj) < p)
+    r2 = (s_idx - dj) // p  # floor division (numpy semantics)
+    row_ok = (r2 >= 0) & (r2 < cycles[:, None])
+    return col_ok & row_ok
+
+
+def _row_taps(
+    padded: Array,
+    periods: Array,
+    cycles: Array,
+    col: Array,
+    row: Array,
+    dc: int,
+    kw: int,
+    Lp: int,
+    m: int,
+    sign: int,
+) -> Array:
+    """All kw masked taps for kernel row dc: [K, B, Lp, kw * C].
+
+    ``sign=+1`` builds forward taps ``x[t + dc*p + dj]``; ``sign=-1`` builds
+    the transposed taps ``x[t - dc*p - dj]`` with the adjoint masks.
+    """
+
+    rw = kw // 2
+    starts = m + sign * dc * periods  # [K], in [0, 2m]
+
+    def slice_one(hk: Array, s: Array) -> Array:
+        return lax.dynamic_slice_in_dim(hk, s, Lp + 2 * rw, axis=1)
+
+    h_dc = jax.vmap(slice_one)(padded, starts)  # [K, B, Lp + 2rw, C]
+    taps = []
+    for dj in range(-rw, rw + 1):
+        tap = lax.slice_in_dim(h_dc, rw + sign * dj, rw + sign * dj + Lp, axis=2)
+        if sign > 0:
+            mask = _fwd_mask(periods, cycles, col, row, dc, dj)
+        else:
+            mask = _bwd_mask(periods, cycles, col, Lp, dc, dj)
+        taps.append(tap * mask[:, None, :, None].astype(tap.dtype))
+    return jnp.concatenate(taps, axis=-1)
+
+
+def _tap_matmul(
+    x: Array,
+    periods: Array,
+    cycles: Array,
+    col: Array,
+    row: Array,
+    w_flat: Array,
+    kh: int,
+    kw: int,
+    Lp: int,
+    L: int,
+    sign: int,
+) -> Array:
+    """sum_{dc} row_taps(dc) @ w_flat[dc] in float32 accumulation.
+
+    ``w_flat``: [kh, kw * Cin, Cout], rows ordered dc = -rh..rh to match the
+    tap stacking order. Strategy is a static size trade-off: one
+    [K, B, Lp, kh*kw*Cin] stack + a single big matmul compiles fastest and
+    fuses best, but its footprint grows kh-fold; above the threshold we
+    accumulate one kernel row at a time (same math, peak memory / kh).
+    """
+
+    K, B, _, Cin = x.shape
+    rh, rw = kh // 2, kw // 2
+    m = rh * (Lp - L)
+    padded = jnp.pad(x, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
+
+    stack_bytes = K * B * Lp * kh * kw * Cin * x.dtype.itemsize
+    w_dt = w_flat.astype(x.dtype)
+    if stack_bytes <= _FULL_STACK_BYTES_LIMIT:
+        full = jnp.concatenate(
+            [
+                _row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, sign)
+                for dc in range(-rh, rh + 1)
+            ],
+            axis=-1,
+        )
+        return jnp.einsum(
+            "kbtc,co->kbto",
+            full,
+            w_dt.reshape(kh * kw * Cin, -1),
+            preferred_element_type=jnp.float32,
+        )
+    out = None
+    for i, dc in enumerate(range(-rh, rh + 1)):
+        taps = _row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, sign)
+        term = jnp.einsum(
+            "kbtc,co->kbto", taps, w_dt[i], preferred_element_type=jnp.float32
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _tap_weight_grad(
+    h: Array,
+    periods: Array,
+    cycles: Array,
+    col: Array,
+    row: Array,
+    ct: Array,
+    kh: int,
+    kw: int,
+    Lp: int,
+    L: int,
+) -> Array:
+    """dW[kh, kw, Cin, Cout] = sum_t forward_taps(h)[t] (x) ct[t]."""
+
+    K, B, _, Cin = h.shape
+    Cout = ct.shape[-1]
+    rh, rw = kh // 2, kw // 2
+    m = rh * (Lp - L)
+    padded = jnp.pad(h, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
+    rows = []
+    for dc in range(-rh, rh + 1):
+        taps = _row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, 1)
+        rows.append(
+            jnp.einsum("kbtc,kbto->co", taps, ct, preferred_element_type=jnp.float32)
+        )
+    return jnp.stack(rows).reshape(kh, kw, Cin, Cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _tap_conv(h, periods, cycles, col, row, kernel, bias, kh, kw, Lp, L):
+    w_flat = kernel.reshape(kh, kw * h.shape[-1], -1)
+    out = _tap_matmul(h, periods, cycles, col, row, w_flat, kh, kw, Lp, L, 1)
+    return out + bias.astype(out.dtype)
+
+
+def _tap_conv_fwd(h, periods, cycles, col, row, kernel, bias, kh, kw, Lp, L):
+    out = _tap_conv(h, periods, cycles, col, row, kernel, bias, kh, kw, Lp, L)
+    return out, (h, periods, cycles, col, row, kernel)
+
+
+def _tap_conv_bwd(kh, kw, Lp, L, res, ct):
+    h, periods, cycles, col, row, kernel = res
+    Cin = h.shape[-1]
+    Cout = kernel.shape[-1]
+    ct_dt = ct.astype(h.dtype)
+    # dh: the transposed masked-shift conv (negated shifts, mirrored masks),
+    # contracted with W reordered to [kh, kw * Cout, Cin].
+    w_t = jnp.transpose(kernel, (0, 1, 3, 2)).reshape(kh, kw * Cout, Cin)
+    dh = _tap_matmul(
+        ct_dt, periods, cycles, col, row, w_t, kh, kw, Lp, L, -1
+    ).astype(h.dtype)
+    dw = _tap_weight_grad(h, periods, cycles, col, row, ct_dt, kh, kw, Lp, L)
+    dw = dw.astype(kernel.dtype)
+    db = ct.sum(axis=(0, 1, 2)).astype(ct.dtype)
+    return dh, None, None, None, None, dw, db
+
+
+_tap_conv.defvjp(_tap_conv_fwd, _tap_conv_bwd)
+
+
 def tap_conv(
     h: Array,
     geom: FoldGeometry,
@@ -95,65 +291,26 @@ def tap_conv(
         kernel: [kh, kw, Cin, Cout] (HWIO, rows = cycle axis, cols = period axis).
         bias: [Cout].
 
-    Returns: [K, B, Lp, Cout] in float32 accumulation.
+    Returns: [K, B, Lp, Cout] in float32 accumulation. The matmuls run in
+    ``h.dtype`` (bf16 islands when the caller casts) with fp32 accumulation.
     """
 
-    K, B, Lp, Cin = h.shape
-    Cout = kernel.shape[-1]
-    rh, rw = kh // 2, kw // 2
-
-    # One padded buffer serves every row shift: p <= p_cap = Lp - L bounds
-    # |dc * p| by rh * (Lp - L); the static column shifts need rw more on
-    # each side.
-    m = rh * (geom.Lp - geom.L)
-    padded = jnp.pad(h, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
-    window = Lp + 2 * rw
-
-    def row_taps(dc: int):
-        """All kw masked taps for kernel row dc: [K, B, Lp, kw*Cin]."""
-
-        starts = m + dc * geom.periods  # [K], in [0, 2m]
-
-        def slice_one(hk: Array, s: Array) -> Array:
-            return lax.dynamic_slice_in_dim(hk, s, window, axis=1)
-
-        h_dc = jax.vmap(slice_one)(padded, starts)  # [K, B, Lp + 2rw, Cin]
-        row_ok = ((geom.row + dc) >= 0) & ((geom.row + dc) < geom.cycles[:, None])
-        taps = []
-        for dj in range(-rw, rw + 1):
-            tap = lax.slice_in_dim(h_dc, rw + dj, rw + dj + Lp, axis=2)
-            col_ok = ((geom.col + dj) >= 0) & ((geom.col + dj) < geom.periods[:, None])
-            mask = (row_ok & col_ok)[:, None, :, None]  # [K, 1, Lp, 1]
-            taps.append(tap * mask.astype(tap.dtype))
-        return jnp.concatenate(taps, axis=-1)
-
-    # Strategy is a static size trade-off: one [K, B, Lp, kh*kw*Cin] stack +
-    # a single big matmul compiles much faster and fuses best, but its
-    # footprint grows kh-fold; above the threshold we accumulate one kernel
-    # row at a time (same math, peak memory / kh — matters at long context).
-    stack_bytes = K * B * Lp * kh * kw * Cin * h.dtype.itemsize
-    if stack_bytes <= _FULL_STACK_BYTES_LIMIT:
-        full = jnp.concatenate([row_taps(dc) for dc in range(-rh, rh + 1)], axis=-1)
-        out = jnp.einsum(
-            "kbtc,co->kbto",
-            full,
-            kernel.reshape(kh * kw * Cin, Cout),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        w = kernel.reshape(kh, kw * Cin, Cout)
-        out = jnp.zeros((K, B, Lp, Cout), jnp.float32)
-        for i, dc in enumerate(range(-rh, rh + 1)):
-            out = out + jnp.einsum(
-                "kbtc,co->kbto", row_taps(dc), w[i], preferred_element_type=jnp.float32
-            )
-    return out + bias.astype(out.dtype)
+    return _tap_conv(
+        h, geom.periods, geom.cycles, geom.col, geom.row, kernel, bias,
+        kh, kw, geom.Lp, geom.L,
+    )
 
 
 def pointwise_conv(h: Array, kernel: Array, bias: Array) -> Array:
-    """1x1 conv == per-position channel matmul. kernel: [Cin, Cout]."""
+    """1x1 conv == per-position channel matmul. kernel: [Cin, Cout].
 
-    out = jnp.einsum("kbtc,co->kbto", h, kernel, preferred_element_type=jnp.float32)
+    Runs on the MXU in ``h.dtype`` with fp32 accumulation.
+    """
+
+    out = jnp.einsum(
+        "kbtc,co->kbto", h, kernel.astype(h.dtype),
+        preferred_element_type=jnp.float32,
+    )
     return out + bias.astype(out.dtype)
 
 

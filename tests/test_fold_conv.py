@@ -70,3 +70,78 @@ def test_tap_conv_tail_padding_is_zero():
     out = np.asarray(tap_conv(h, geom, jnp.asarray(kernel), jnp.asarray(bias), 3, 3))
     expected = _oracle(x, period, kernel, bias)
     np.testing.assert_allclose(out[0, :, :L, :], expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (5, 5), (1, 3), (7, 7)])
+def test_tap_conv_custom_vjp_matches_autodiff(kh, kw):
+    """The hand-written backward (tap-transpose + recomputed-stack dW) must
+    match JAX's mechanical autodiff of the same forward math."""
+
+    import jax
+
+    rng = np.random.default_rng(3)
+    K, B, L, Cin, Cout = 2, 3, 20, 4, 5
+    periods = jnp.asarray([7, 13], jnp.int32)
+    geom = make_geometry(periods, L, p_cap=L - 1)
+    x = rng.standard_normal((B, L, Cin)).astype(np.float32)
+    kernel = rng.standard_normal((kh, kw, Cin, Cout)).astype(np.float32) * 0.3
+    bias = rng.standard_normal(Cout).astype(np.float32) * 0.1
+    ct = rng.standard_normal((K, B, geom.Lp, Cout)).astype(np.float32)
+
+    xg = pad_time(jnp.asarray(x), L, geom.Lp)
+    h0 = jnp.broadcast_to(xg[None], (K, B, geom.Lp, Cin))
+
+    def f(h, w, b):
+        return jnp.sum(tap_conv(h, geom, w, b, kh, kw) * jnp.asarray(ct))
+
+    # reference: autodiff through the raw (non-custom-vjp) forward math
+    from flow_timesnet_tpu.ops import fold
+
+    def f_raw(h, w, b):
+        w_flat = w.reshape(kh, kw * Cin, Cout)
+        out = fold._tap_matmul(
+            h, geom.periods, geom.cycles, geom.col, geom.row,
+            w_flat, kh, kw, geom.Lp, geom.L, 1,
+        ) + b
+        return jnp.sum(out * jnp.asarray(ct))
+
+    args = (h0, jnp.asarray(kernel), jnp.asarray(bias))
+    g_custom = jax.grad(f, argnums=(0, 1, 2))(*args)
+    g_auto = jax.grad(f_raw, argnums=(0, 1, 2))(*args)
+    for gc, ga, name in zip(g_custom, g_auto, ("dh", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(ga), rtol=2e-5, atol=2e-5, err_msg=name
+        )
+
+
+def test_tap_conv_row_accumulation_grad_matches_fused():
+    """Backward must be identical across the stack-size strategies."""
+
+    import os
+
+    import jax
+
+    from flow_timesnet_tpu.ops import fold
+
+    rng = np.random.default_rng(4)
+    K, B, L, Cin, Cout = 2, 2, 16, 3, 3
+    periods = jnp.asarray([5, 7], jnp.int32)
+    geom = make_geometry(periods, L, p_cap=L - 1)
+    x = rng.standard_normal((B, L, Cin)).astype(np.float32)
+    kernel = rng.standard_normal((5, 5, Cin, Cout)).astype(np.float32) * 0.3
+    bias = np.zeros(Cout, np.float32)
+    xg = pad_time(jnp.asarray(x), L, geom.Lp)
+    h0 = jnp.broadcast_to(xg[None], (K, B, geom.Lp, Cin))
+
+    def loss(h, w):
+        return jnp.sum(jnp.tanh(tap_conv(h, geom, w, jnp.asarray(bias), 5, 5)))
+
+    g_fused = jax.grad(loss, argnums=(0, 1))(h0, jnp.asarray(kernel))
+    old = fold._FULL_STACK_BYTES_LIMIT
+    try:
+        fold._FULL_STACK_BYTES_LIMIT = 1  # force per-row accumulation
+        g_rows = jax.grad(loss, argnums=(0, 1))(h0, jnp.asarray(kernel))
+    finally:
+        fold._FULL_STACK_BYTES_LIMIT = old
+    for a, b in zip(g_fused, g_rows):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

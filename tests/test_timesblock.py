@@ -95,3 +95,51 @@ def test_max_unique_cap_reduces_groups():
     )
     counts = aux["intermediates"]["group_count"][0]
     assert int(counts) == 2
+
+
+def test_period_buckets_match_unbucketed():
+    """Bucketed compilation is a layout/FLOP optimisation only: for any mix of
+    small/large/invalid periods the output and gradients must match the
+    single full-cap program."""
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 6)).astype(np.float32))
+    amps = rng.standard_normal((2, 3)).astype(np.float32)
+
+    cases = [
+        _selection([4, 2, 3], amps),                    # all small -> bucket 0
+        _selection([4, 7, 2], amps),                    # mid -> bucket 1
+        _selection([4, 15, 2], amps),                   # large -> full cap
+        _selection([4, 15, 2], amps, valid=jnp.asarray([True, False, True])),
+        _selection([5, 5, 5], amps),                    # duplicates
+    ]
+    base = _block(p_cap=15)
+    bucketed = _block(p_cap=15, period_buckets="auto")
+    variables = base.init(jax.random.PRNGKey(0), x, cases[0])
+    # identical param trees (nn.cond branches share parameters)
+    v2 = bucketed.init(jax.random.PRNGKey(0), x, cases[0])
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+
+    for sel in cases:
+        out_a = base.apply(variables, x, sel)
+        out_b = bucketed.apply(variables, x, sel)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6
+        )
+
+        ga = jax.grad(lambda v: jnp.sum(jnp.tanh(base.apply(v, x, sel))))(variables)
+        gb = jax.grad(lambda v: jnp.sum(jnp.tanh(bucketed.apply(v, x, sel))))(variables)
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_period_buckets_explicit_ladder_and_off():
+    from flow_timesnet_tpu.models.timesblock import resolve_period_buckets
+
+    assert resolve_period_buckets(None, 28, 27) == (27,)
+    assert resolve_period_buckets("off", 28, 27) == (27,)
+    assert resolve_period_buckets("auto", 28, 27) == (7, 14, 27)
+    assert resolve_period_buckets([8, 4, 99], 28, 27) == (4, 8, 27)
+    assert resolve_period_buckets("4 8", 28, 27) == (4, 8, 27)
