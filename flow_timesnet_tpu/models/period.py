@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import Array, lax
 
@@ -37,17 +38,46 @@ class PeriodSelection(NamedTuple):
     freq_indices: Array  # [K] int32 — selected rFFT bins (>= 1)
 
 
+@jax.custom_vjp
+def _lower_median_last(x: Array) -> Array:
+    """Lower median over the last axis (torch.median order statistic).
+
+    Custom VJP: jnp.sort's mechanical VJP sorts two extra index iotas in the
+    forward and scatter-permutes the cotangent in the backward — measured
+    ~4.3 ms/step per call on a v5e (a serial scatter). The median's true
+    gradient only routes the cotangent to the selected element, so the
+    backward here is a vectorized compare+select (first position matching the
+    median value — torch routes to a single element likewise).
+    """
+
+    n = x.shape[-1]
+    return jnp.sort(x, axis=-1)[..., (n - 1) // 2]
+
+
+def _lower_median_fwd(x: Array):
+    med = _lower_median_last(x)
+    return med, (x, med)
+
+
+def _lower_median_bwd(res, ct):
+    x, med = res
+    eq = x == med[..., None]
+    first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=-1) == 1)
+    return (ct[..., None] * first.astype(ct.dtype),)
+
+
+_lower_median_last.defvjp(_lower_median_fwd, _lower_median_bwd)
+
+
 def _lower_median(x: Array, axis: int) -> Array:
     """Median taking the lower of the two middle order statistics.
 
     torch.median returns the lower middle element for even counts while
     numpy/jnp average them; the reference relies on torch semantics
-    (``timesnet.py:111``), so we sort and index ``(n - 1) // 2`` explicitly.
+    (``timesnet.py:111``), so we take order statistic ``(n - 1) // 2``.
     """
 
-    n = x.shape[axis]
-    sorted_x = jnp.sort(x, axis=axis)
-    return jnp.take(sorted_x, (n - 1) // 2, axis=axis)
+    return _lower_median_last(jnp.moveaxis(x, axis, -1))
 
 
 def select_periods(
