@@ -193,7 +193,7 @@ def _nb_nll_delta_vs_torch() -> float:
     ref_val = float(
         ref_nll(torch.from_numpy(y), torch.from_numpy(rate), torch.from_numpy(disp))
     )
-    return abs(ours_val - ref_val)
+    return abs(ours_val - ref_val), abs(ours_val - ref_val) / max(abs(ref_val), 1e-12)
 
 
 def main() -> None:
@@ -249,7 +249,9 @@ def main() -> None:
 
     # ---- NB-NLL parity delta (driver metric #2)
     try:
-        extra["nb_nll_delta_vs_torch"] = float(f"{_nb_nll_delta_vs_torch():.2e}")
+        abs_d, rel_d = _nb_nll_delta_vs_torch()
+        extra["nb_nll_delta_vs_torch"] = float(f"{abs_d:.2e}")
+        extra["nb_nll_rel_delta_vs_torch"] = float(f"{rel_d:.2e}")
     except Exception as e:  # noqa: BLE001
         extra["nb_nll_error"] = str(e)[:200]
 

@@ -120,19 +120,19 @@ def test_period_buckets_match_unbucketed():
     v2 = bucketed.init(jax.random.PRNGKey(0), x, cases[0])
     assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
 
-    for sel in cases:
+    for i, sel in enumerate(cases):
         out_a = base.apply(variables, x, sel)
         out_b = bucketed.apply(variables, x, sel)
         np.testing.assert_allclose(
             np.asarray(out_a), np.asarray(out_b), rtol=1e-6, atol=1e-6
         )
-
-        ga = jax.grad(lambda v: jnp.sum(jnp.tanh(base.apply(v, x, sel))))(variables)
-        gb = jax.grad(lambda v: jnp.sum(jnp.tanh(bucketed.apply(v, x, sel))))(variables)
-        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
-            )
+        if i in (0, 2, 3):  # grads on small-cap, full-cap and invalid cases
+            ga = jax.grad(lambda v: jnp.sum(jnp.tanh(base.apply(v, x, sel))))(variables)
+            gb = jax.grad(lambda v: jnp.sum(jnp.tanh(bucketed.apply(v, x, sel))))(variables)
+            for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                )
 
 
 def test_period_buckets_explicit_ladder_and_off():
