@@ -51,3 +51,58 @@ def test_written_files_match_schema(tmp_path):
                          encoding="utf-8-sig")
     assert sample.shape == (TEST_FILES * HORIZON, 1 + 192)
     assert sample[DATE_COL].iloc[0] == "TEST_00+D1"
+
+
+def test_scorer_and_tools(tmp_path):
+    from make_subset import main as subset_main  # noqa: F401  (import check)
+    from score_submission import load_submission, score, truth_frame
+
+    truth = truth_frame(7)
+    assert truth.shape == (TEST_FILES * HORIZON, 192)
+    assert list(truth.index)[:2] == ["TEST_00+D1", "TEST_00+D2"]
+
+    # scoring the truth itself is a perfect forecast
+    perfect = score(truth, truth)
+    assert perfect["smape"] == 0.0 and perfect["wsmape"] == 0.0
+
+    # oracle (conditional mean) beats any constant forecast
+    oracle = score(truth_frame(7, use_expected=True), truth)
+    zeros = truth * 0.0
+    assert 0.0 < oracle["smape"] < score(zeros, truth)["smape"]
+
+    # a row_key submission round-trips through load_submission, and a
+    # date-keyed one maps back onto the same rows
+    p = tmp_path / "sub.csv"
+    wide = truth.reset_index().rename(columns={"index": DATE_COL})
+    wide.to_csv(p, index=False, encoding="utf-8-sig")
+    assert score(load_submission(str(p), truth), truth)["smape"] == 0.0
+
+    dated = wide.copy()
+    dated[DATE_COL] = [truth.attrs["date_of_key"][k] for k in truth.index]
+    dated.to_csv(p, index=False, encoding="utf-8-sig")
+    assert score(load_submission(str(p), truth), truth)["smape"] == 0.0
+
+
+def test_subset_shares_scorer_columns(tmp_path):
+    import subprocess
+
+    src = str(tmp_path / "full")
+    dst = str(tmp_path / "sub")
+    write_benchmark(src, seed=7)
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    subprocess.run(
+        [sys.executable, os.path.join(tools, "make_subset.py"), src, dst,
+         "--stores", "2"],
+        check=True,
+    )
+    sample = pd.read_csv(os.path.join(dst, "sample_submission.csv"),
+                         encoding="utf-8-sig")
+    assert sample.shape[1] == 1 + 48
+
+    from score_submission import load_submission, truth_frame
+
+    truth = truth_frame(7)
+    sub = load_submission(os.path.join(dst, "sample_submission.csv"), truth)
+    assert sub.shape == (TEST_FILES * HORIZON, 48)

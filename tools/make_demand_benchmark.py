@@ -46,7 +46,7 @@ def _series_ids():
 
 
 def simulate(seed: int = 7):
-    """Return (dates, ids, demand [T, N] float, observed [T, N] bool)."""
+    """Return (dates, ids, demand [T,N], observed [T,N] bool, expected [T,N])."""
 
     rng = np.random.default_rng(seed)
     ids = _series_ids()
@@ -102,19 +102,25 @@ def simulate(seed: int = 7):
         demand[:, intermittent],
     )
 
+    # conditional expectation given every latent (promos, closures,
+    # intermittency) — the irreducible-noise floor for any forecaster
+    expected = mu.copy()
+    expected[:, intermittent] *= 0.45
+
     # closures: whole store zero-days
     observed = np.ones((total_days, n), dtype=bool)
     for s in range(N_STORES):
         closures = rng.integers(0, total_days, rng.integers(5, 15))
         for c in closures:
             demand[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
+            expected[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
     # missing rows (~2% of observations dropped from the long CSV)
     observed &= rng.random((total_days, n)) >= 0.02
-    return dates, ids, demand, observed
+    return dates, ids, demand, observed, expected
 
 
 def write_benchmark(outdir: str, seed: int = 7) -> None:
-    dates, ids, demand, observed = simulate(seed)
+    dates, ids, demand, observed, _ = simulate(seed)
     os.makedirs(os.path.join(outdir, "test"), exist_ok=True)
 
     def to_long(d0: int, d1: int) -> pd.DataFrame:
