@@ -10,6 +10,7 @@ and a ``lax.scan`` recursive decoder sharing the direct checkpoint
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict
 
@@ -52,6 +53,14 @@ class Engine:
     ) -> None:
         self.cfg = cfg
         self.model = TimesNet(cfg)
+        # Telemetry runs a standalone forward (no gradients), so remat would
+        # only discard the sown intermediates; use a non-remat twin (identical
+        # param tree) whenever checkpointing is on.
+        self._telemetry_model = (
+            TimesNet(dataclasses.replace(cfg, use_checkpoint=False))
+            if cfg.use_checkpoint
+            else self.model
+        )
         self.use_loss_masking = bool(use_loss_masking)
         self.accum_steps = max(1, int(accumulation_steps))
         self.tx = build_optimizer(grad_clip_norm, weight_decay)
@@ -151,7 +160,7 @@ class Engine:
         (train.py:283-317).
         """
 
-        _, aux = self.model.apply(
+        _, aux = self._telemetry_model.apply(
             {"params": params},
             batch["x"],
             batch.get("x_mark"),

@@ -639,7 +639,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         for i, batch in enumerate(dl_train):
             rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
             dev_batch = to_device(batch)
-            if i == 0 and not tn_cfg.use_checkpoint:
+            if i == 0:
                 telemetry = engine.collect_period_telemetry(state.params, dev_batch)
                 _log_period_telemetry(telemetry, inferred_freq, ep)
             if scan_steps > 1:

@@ -51,6 +51,15 @@ def test_activation_checkpoint_matches_plain():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
+    # Period telemetry must survive remat: the engine routes it through a
+    # non-remat twin with the identical param tree, so observability no longer
+    # disappears exactly on the big configs that use checkpointing.
+    t_plain = e_plain.collect_period_telemetry(s_plain.params, batch)
+    t_remat = e_remat.collect_period_telemetry(s_remat.params, batch)
+    assert set(t_remat) == set(t_plain) and len(t_remat) == 2
+    for k in t_plain:
+        np.testing.assert_array_equal(t_remat[k]["periods"], t_plain[k]["periods"])
+
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference checkout missing")
 def test_gaussian_nll_matches_reference():
