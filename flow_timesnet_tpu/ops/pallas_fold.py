@@ -33,14 +33,40 @@ from jax.experimental.pallas import tpu as pltpu
 from .fold import FoldGeometry
 
 
-def _pick_b_tile(B: int, lpad: int, cin: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
-    """Largest divisor of B whose h-block fits the VMEM budget."""
+def _kernel_vmem_bytes(
+    b: int, lpad: int, lp: int, cin: int, cout: int, kw: int
+) -> int:
+    """Estimated scoped-VMEM footprint of one grid cell (fp32 everywhere).
+
+    Counts the double-buffered input/output blocks plus the kernel-body
+    intermediates (the kw-tap concat and the fp32 accumulator). Observed
+    failure mode when underestimated: the TPU compiler rejects the kernel
+    with a scoped-vmem stack OOM (22.1M vs the 16M limit at b=128 on the
+    flagship shape), surfacing as an opaque HTTP 500 through remote-compile
+    relays — so this stays deliberately conservative.
+    """
+
+    io_blocks = 2 * (b * lpad * cin) + 2 * (b * lp * cout)  # double-buffered
+    body = b * lp * kw * cin + b * lp * cout  # tap concat + accumulator
+    return 4 * (io_blocks + body)
+
+
+def _pick_b_tile(
+    B: int,
+    lpad: int,
+    lp: int,
+    cin: int,
+    cout: int,
+    kw: int,
+    budget_bytes: int = 10 * 1024 * 1024,
+) -> int:
+    """Largest divisor of B whose full kernel footprint fits the budget."""
 
     best = 1
     for cand in range(1, B + 1):
         if B % cand:
             continue
-        if cand * lpad * cin * 4 <= budget_bytes:
+        if _kernel_vmem_bytes(cand, lpad, lp, cin, cout, kw) <= budget_bytes:
             best = cand
     return best
 
@@ -192,12 +218,19 @@ def tap_conv_pallas(
     """Drop-in replacement for :func:`ops.fold.tap_conv` backed by Pallas."""
 
     K, B, Lp, Cin = h.shape
+    if h.dtype == jnp.bfloat16:
+        # The kernel accumulates in fp32 anyway; bf16 VMEM loads crash the
+        # Mosaic compiler on remote-compile relays (observed: tpu_compile_helper
+        # exit 1 on every bf16 variant, fp32 fine), so upcast at entry.
+        h = h.astype(jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     rh, rw = kh // 2, kw // 2
     pad = rh * (geom.Lp - geom.L) + rw
     if b_tile is None:
-        b_tile = _pick_b_tile(B, Lp + 2 * pad, Cin)
+        b_tile = _pick_b_tile(
+            B, Lp + 2 * pad, Lp, Cin, int(kernel.shape[-1]), kw
+        )
     return _tap_conv_op(
         h,
         geom.periods,
