@@ -14,8 +14,11 @@ from flow_timesnet_tpu.models.timesnet import TimesNetConfig
 from flow_timesnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
-@pytest.fixture
+@pytest.fixture(scope="module")
 def setup():
+    # Module-scoped: all five tests use the identical config, and sharing one
+    # Engine shares its jit cache (states are rebuilt per test; the batch is
+    # read-only), cutting repeated train-step compiles.
     cfg = TimesNetConfig(
         input_len=16, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=2,
         kernel_set=((3, 3),), dropout=0.0, mode="direct", min_period_threshold=2,
