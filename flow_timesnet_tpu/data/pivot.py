@@ -90,6 +90,85 @@ def pivot_long_to_wide(
     return wide
 
 
+def read_long_pivot(
+    path: str,
+    date_col: str,
+    id_col: str,
+    target_col: str,
+    fill_missing_dates: bool = True,
+    fillna0: bool = True,
+    encoding: str = "utf-8",
+) -> pd.DataFrame:
+    """``pd.read_csv`` + :func:`pivot_long_to_wide` with a native fast path.
+
+    The C++ engine (``runtime/csv_pivot.cpp``) parses and pivots the long
+    frame in one pass — no intermediate DataFrame — and returns the dense
+    [T, N] grid directly. It only speaks the strict dialect (UTF-8,
+    ISO dates, plain floats); anything else makes it decline and this
+    function falls back to the pandas path, which defines the semantics.
+    A duplicate-(date, id) report from the native engine also falls back so
+    the pandas path raises the identical ValueError.
+    """
+
+    wide = _native_read_long_pivot(
+        path, date_col, id_col, target_col, fill_missing_dates, encoding
+    )
+    if wide is None:
+        df = pd.read_csv(path, encoding=encoding)
+        return pivot_long_to_wide(
+            df,
+            date_col=date_col,
+            id_col=id_col,
+            target_col=target_col,
+            fill_missing_dates=fill_missing_dates,
+            fillna0=fillna0,
+        )
+    return wide.fillna(0.0) if fillna0 else wide
+
+
+def _native_read_long_pivot(
+    path: str,
+    date_col: str,
+    id_col: str,
+    target_col: str,
+    fill_missing_dates: bool,
+    encoding: str,
+) -> Optional[pd.DataFrame]:
+    if encoding.lower().replace("_", "-") not in ("utf-8", "utf8", "ascii", "utf-8-sig"):
+        return None
+    from ..runtime.native import get_native_csv_pivot
+
+    engine = get_native_csv_pivot()
+    if engine is None:
+        return None
+    import csv as _csv
+
+    try:
+        with open(path, "r", encoding="utf-8-sig", newline="") as f:
+            header = next(_csv.reader(f))
+    except (OSError, StopIteration, UnicodeDecodeError, _csv.Error):
+        return None
+    try:
+        idx = [header.index(c) for c in (date_col, id_col, target_col)]
+    except ValueError:
+        return None  # missing columns: pandas path raises the right error
+    result = engine.parse(path, *idx)
+    if isinstance(result, int):  # any CP_E_* status, incl. duplicates
+        return None
+    values, filled, days, ids = result
+    values = values.astype(float)
+    values[~filled] = np.nan
+    index = pd.DatetimeIndex(days.astype("datetime64[D]"))
+    wide = pd.DataFrame(values, index=index, columns=ids)
+    if fill_missing_dates and len(index):
+        full_idx = pd.date_range(index.min(), index.max(), freq="D")
+        if len(full_idx) != len(index):
+            wide = wide.reindex(full_idx)
+    wide.index.name = None
+    wide.columns.name = None
+    return wide
+
+
 def fit_series_scaler(
     wide_df: pd.DataFrame,
     method: str = "zscore",

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 
 from .config import PipelineConfig, load_yaml
-from .data.pivot import pivot_long_to_wide, transform_dataframe
+from .data.pivot import read_long_pivot, transform_dataframe
 from .data.windows import build_batcher
 from .engine import batch_to_device
 from .forecaster import Forecaster
@@ -53,14 +53,14 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
     eval_csv = data_cfg.get("eval_csv") or data_cfg.get("train_csv")
     if not eval_csv:
         raise ValueError("data.eval_csv (or data.train_csv) must point to the evaluation CSV")
-    df = pd.read_csv(eval_csv, encoding=data_cfg.get("encoding", "utf-8"))
-    wide_raw = pivot_long_to_wide(
-        df,
+    wide_raw = read_long_pivot(
+        eval_csv,
         date_col=data_cfg.get("date_col", trained_cfg.data.date_col),
         id_col=data_cfg.get("id_col", trained_cfg.data.id_col),
         target_col=data_cfg.get("target_col", trained_cfg.data.target_col),
         fill_missing_dates=bool(data_cfg.get("fill_missing_dates", True)),
         fillna0=False,
+        encoding=data_cfg.get("encoding", "utf-8"),
     )
     mask_wide = (~wide_raw.isna()).astype(np.float32)
     wide = wide_raw.fillna(0.0)

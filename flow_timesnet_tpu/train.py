@@ -27,8 +27,13 @@ import numpy as np
 import pandas as pd
 
 from .config import PipelineConfig, save_yaml
-from .data.pivot import fit_series_scaler, pivot_long_to_wide, transform_dataframe
-from .data.schema import DataSchema
+from .data.pivot import (
+    fit_series_scaler,
+    pivot_long_to_wide,
+    read_long_pivot,
+    transform_dataframe,
+)
+from .data.schema import DataSchema, extract_schema_overrides
 from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
 from .data.windows import build_batcher, pad_batch_rows
@@ -234,17 +239,42 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     time_features_enabled = bool(time_feature_cfg.get("enabled", False))
     data_cfg["time_features"] = time_feature_cfg
 
-    df = pd.read_csv(cfg["data"]["train_csv"], encoding=cfg["data"].get("encoding", "utf-8"))
-    schema = DataSchema.from_config(data_cfg, sample_df=df)
-    data_cfg.setdefault("schema", schema.as_dict())
-    wide_raw = pivot_long_to_wide(
-        df,
-        date_col=schema["date"],
-        id_col=schema["id"],
-        target_col=schema["target"],
-        fill_missing_dates=bool(cfg["data"].get("fill_missing_dates", True)),
-        fillna0=False,
-    )
+    train_csv = cfg["data"]["train_csv"]
+    encoding = cfg["data"].get("encoding", "utf-8")
+    # Native one-pass CSV pivot is eligible only when all three roles are
+    # configured (no detection needed) and the file carries no extra feature
+    # columns (schema's temporal-coverage analysis only inspects those), so
+    # a 256-row sample is exactly as informative as the full frame.
+    sample_df = None
+    if len(extract_schema_overrides(data_cfg)) == 3:
+        try:
+            sample_df = pd.read_csv(train_csv, encoding=encoding, nrows=256)
+        except (OSError, ValueError):
+            sample_df = None
+    if sample_df is not None and len(sample_df.columns) == 3:
+        schema = DataSchema.from_config(data_cfg, sample_df=sample_df)
+        data_cfg.setdefault("schema", schema.as_dict())
+        wide_raw = read_long_pivot(
+            train_csv,
+            date_col=schema["date"],
+            id_col=schema["id"],
+            target_col=schema["target"],
+            fill_missing_dates=bool(cfg["data"].get("fill_missing_dates", True)),
+            fillna0=False,
+            encoding=encoding,
+        )
+    else:
+        df = pd.read_csv(train_csv, encoding=encoding)
+        schema = DataSchema.from_config(data_cfg, sample_df=df)
+        data_cfg.setdefault("schema", schema.as_dict())
+        wide_raw = pivot_long_to_wide(
+            df,
+            date_col=schema["date"],
+            id_col=schema["id"],
+            target_col=schema["target"],
+            fill_missing_dates=bool(cfg["data"].get("fill_missing_dates", True)),
+            fillna0=False,
+        )
     mask_wide = (~wide_raw.isna()).astype(np.float32)
     wide = wide_raw.fillna(0.0)
     series_static_np, static_feature_names = compute_series_features(wide, mask_wide)
