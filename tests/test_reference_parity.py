@@ -237,13 +237,15 @@ def test_full_forward_matches_reference(variant):
         {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
     )
 
-    rate, disp = model.apply(
-        {"params": params},
+    # jit: one persisted program per variant (eager apply = ~100s of per-op
+    # compiles, each re-looked-up from the persistent cache on every run)
+    fwd = jax.jit(lambda p, *a: model.apply({"params": p}, *a, deterministic=True))
+    rate, disp = fwd(
+        params,
         jnp.asarray(x),
         jnp.asarray(marks_in) if marks_in is not None else None,
         jnp.asarray(static_in) if static_in is not None else None,
         jnp.asarray(ids_in) if ids_in is not None else None,
-        deterministic=True,
     )
     np.testing.assert_allclose(
         np.asarray(rate), t_rate.numpy(), rtol=1e-4, atol=1e-4
@@ -288,11 +290,9 @@ def test_forward_nll_delta_within_tolerance():
     params = flax.traverse_util.unflatten_dict(
         {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
     )
-    rate, disp = model.apply(
-        {"params": params},
-        jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
-        deterministic=True,
-    )
+    rate, disp = jax.jit(
+        lambda p, *a: model.apply({"params": p}, *a, deterministic=True)
+    )(params, jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids))
     ours = float(
         jlosses.negative_binomial_nll(
             jnp.asarray(y), rate, disp,
@@ -370,7 +370,7 @@ def test_gradients_match_reference():
         )
         return jlosses.negative_binomial_nll(jnp.asarray(y), rate, disp)
 
-    loss_val, grads = jax.value_and_grad(loss_fn)(params)
+    loss_val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert abs(float(loss_val) - float(t_loss)) <= 1e-5
 
     def t2j_linear(g):  # torch Linear grad [out,in] -> Dense kernel grad [in,out]
@@ -528,11 +528,10 @@ def test_full_forward_fuzz_random_architectures():
         params = flax.traverse_util.unflatten_dict(
             {k: jnp.asarray(v, jnp.float32) for k, v in flat_new.items()}
         )
-        rate, disp = model.apply(
-            {"params": params},
-            jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static), jnp.asarray(ids),
-            deterministic=True,
-        )
+        rate, disp = jax.jit(
+            lambda p, *a: model.apply({"params": p}, *a, deterministic=True)
+        )(params, jnp.asarray(x), jnp.asarray(marks), jnp.asarray(static),
+          jnp.asarray(ids))
         np.testing.assert_allclose(
             np.asarray(rate), t_rate.numpy(), rtol=2e-4, atol=2e-4, err_msg=str(ctx)
         )
