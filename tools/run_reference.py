@@ -39,6 +39,30 @@ def main() -> None:
 
     ref_train.DataLoader = _dataloader
 
+    # the reference fills its int64 sample-submission template with float
+    # predictions via .loc, which modern pandas rejects (silent dtype
+    # coercion removed) — upcast numeric template columns first.
+    import timesnet_forecast.utils.submission as ref_sub
+
+    def _wrap_fill(cls):
+        orig = cls.__dict__.get("_fill_template")
+        if orig is None:
+            return
+
+        def _fill_float(self, template, predictions, context, _orig=orig):
+            int_cols = template.select_dtypes(
+                include=["int16", "int32", "int64"]
+            ).columns
+            if len(int_cols):
+                template = template.astype({c: "float64" for c in int_cols})
+            return _orig(self, template, predictions, context)
+
+        cls._fill_template = _fill_float
+
+    _wrap_fill(ref_sub.SubmissionWriter)
+    for _cls in ref_sub.SubmissionWriter.__subclasses__():
+        _wrap_fill(_cls)
+
     from timesnet_forecast.config import PipelineConfig
 
     cfg = PipelineConfig.from_files(args.config, overrides=args.override)
