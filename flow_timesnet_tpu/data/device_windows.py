@@ -1,0 +1,276 @@
+"""Device-resident window sampling: stage once, gather inside the program.
+
+The reference hides host-side batch assembly behind DataLoader worker
+processes, pinned memory and prefetch
+(``/root/reference/src/timesnet_forecast/train.py:218-227``). The TPU-native
+answer is stronger: the wide training array is small (192 series x 560 days
+~= 430 KB; even 10k series x 2 years ~= 30 MB), so the per-fold arrays are
+staged in HBM **once** and every window is gathered *inside* the jitted
+epoch program from a [steps, batch] index plan. The whole epoch — gather,
+forward, backward, update, for every step — runs as a single ``lax.scan``
+dispatch; the host's only per-epoch work is one permutation and one scalar
+fetch. This closes the measured ~5x gap between the pure-device step rate
+and the real pipeline (host gather + H2D + dispatch per chunk).
+
+Layout: per-fold wide arrays are zero-padded to a common ``T_max`` and
+stacked to ``[n_folds, T_max, N]``. A flat sample index enumerates
+``(fold, window, series)`` exactly like the host
+:class:`~flow_timesnet_tpu.data.windows.WindowBatcher` concatenation
+(``window = local // N``, ``series = local % N``, ``start = window*stride``),
+so the two pipelines sample the identical distribution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class StagedWindows(struct.PyTreeNode):
+    """Per-split fold arrays staged on device + static window geometry.
+
+    Array fields live in HBM; aux fields are trace-time constants (hashable,
+    part of the jit cache key).
+    """
+
+    X: jnp.ndarray  # [F, T_max, N] values (zero-padded rows beyond each fold's T)
+    M: jnp.ndarray  # [F, T_max, N] validity mask
+    marks: Optional[jnp.ndarray]  # [F, T_max, Fm] time features or None
+    static: Optional[jnp.ndarray]  # [N, Fs] or None
+    sigma: Optional[jnp.ndarray]  # [N] per-series dispersion floor or None
+    offsets: jnp.ndarray  # [F + 1] int32 cumulative flat-sample counts
+    max_start: jnp.ndarray  # [F] int32 last valid window start per fold
+
+    input_len: int = struct.field(pytree_node=False)
+    horizon: int = struct.field(pytree_node=False)
+    stride: int = struct.field(pytree_node=False)
+    num_series: int = struct.field(pytree_node=False)
+    total: int = struct.field(pytree_node=False)
+    noise_std: float = struct.field(pytree_node=False)
+    time_shift: int = struct.field(pytree_node=False)
+
+    @property
+    def has_marks(self) -> bool:
+        return self.marks is not None
+
+
+def stage_windows(
+    arrays: List[np.ndarray],
+    masks: List[np.ndarray],
+    input_len: int,
+    pred_len: int,
+    stride: int,
+    mode: str,
+    *,
+    recursive_pred_len: Optional[int] = None,
+    marks: Optional[List[Optional[np.ndarray]]] = None,
+    static: Optional[np.ndarray] = None,
+    sigma_vector: Optional[np.ndarray] = None,
+    augment: Optional[Dict[str, Any]] = None,
+    device_put=jax.device_put,
+) -> Optional[StagedWindows]:
+    """Stack per-fold [T, N] arrays and stage them on device.
+
+    Returns ``None`` when there are no usable folds. ``device_put`` is
+    injectable so the data-parallel path can replicate over a mesh.
+    """
+
+    if mode == "direct":
+        horizon = int(pred_len)
+    else:
+        horizon = int(recursive_pred_len if recursive_pred_len is not None else 1)
+    L = int(input_len)
+    step = max(1, int(stride))
+    augment = augment or {}
+
+    keep: List[int] = []
+    wps: List[int] = []
+    for i, arr in enumerate(arrays):
+        T = int(np.asarray(arr).shape[0])
+        max_start = T - L - horizon
+        if max_start < 0:
+            continue
+        keep.append(i)
+        wps.append(len(range(0, max_start + 1, step)))
+    if not keep:
+        return None
+
+    N = int(np.asarray(arrays[keep[0]]).shape[1])
+    T_max = max(int(np.asarray(arrays[i]).shape[0]) for i in keep)
+
+    def pad_stack(mats: List[np.ndarray], width: int) -> np.ndarray:
+        out = np.zeros((len(mats), T_max, width), dtype=np.float32)
+        for j, m in enumerate(mats):
+            m = np.asarray(m, dtype=np.float32)
+            if m.ndim == 1:
+                m = m.reshape(-1, 1)
+            out[j, : m.shape[0], :] = m
+        return out
+
+    X = pad_stack([np.asarray(arrays[i]) for i in keep], N)
+    M = pad_stack([np.asarray(masks[i]) for i in keep], N)
+
+    marks_stacked = None
+    if marks is not None:
+        kept_marks = [marks[i] for i in keep]
+        if all(m is not None and np.asarray(m).shape[1] > 0 for m in kept_marks):
+            Fm = int(np.asarray(kept_marks[0]).shape[1])
+            marks_stacked = pad_stack([np.asarray(m) for m in kept_marks], Fm)
+
+    counts = np.asarray([w * N for w in wps], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    max_start_arr = np.asarray(
+        [int(np.asarray(arrays[i]).shape[0]) - L - horizon for i in keep],
+        dtype=np.int32,
+    )
+
+    return StagedWindows(
+        X=device_put(X),
+        M=device_put(M),
+        marks=device_put(marks_stacked) if marks_stacked is not None else None,
+        static=(
+            device_put(np.asarray(static, dtype=np.float32))
+            if static is not None and np.asarray(static).size
+            else None
+        ),
+        sigma=(
+            device_put(np.asarray(sigma_vector, dtype=np.float32).reshape(-1))
+            if sigma_vector is not None
+            else None
+        ),
+        offsets=device_put(offsets),
+        max_start=device_put(max_start_arr),
+        input_len=L,
+        horizon=horizon,
+        stride=step,
+        num_series=N,
+        total=int(offsets[-1]),
+        noise_std=float(augment.get("add_noise_std", 0.0)),
+        time_shift=int(augment.get("time_shift", 0)),
+    )
+
+
+def gather_batch(
+    staged: StagedWindows,
+    flat_idx: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    rng: Optional[jnp.ndarray] = None,
+    *,
+    with_y_mark: bool = False,
+) -> Dict[str, Any]:
+    """Assemble one device batch from flat sample indices (trace-safe).
+
+    Mirrors :meth:`SlidingWindowSource.gather` semantics exactly:
+    ``fold = searchsorted(offsets, idx)``, ``window = local // N``,
+    ``series = local % N``, ``start = window * stride``; augmentation
+    (time_shift / add_noise_std) uses the supplied jax PRNG key instead of
+    the host generator — same distribution, different stream.
+    """
+
+    flat = flat_idx.astype(jnp.int32)
+    src = jnp.clip(
+        jnp.searchsorted(staged.offsets, flat, side="right") - 1,
+        0,
+        staged.offsets.shape[0] - 2,
+    )
+    local = flat - staged.offsets[src]
+    N = staged.num_series
+    window = local // N
+    series = (local % N).astype(jnp.int32)
+    starts = window * staged.stride
+
+    if staged.time_shift > 0:
+        if rng is None:
+            raise ValueError("time_shift augmentation requires a PRNG key")
+        rng, sub = jax.random.split(rng)
+        delta = jax.random.randint(
+            sub, starts.shape, -staged.time_shift, staged.time_shift + 1
+        )
+        starts = jnp.clip(starts + delta, 0, staged.max_start[src])
+
+    L, H = staged.input_len, staged.horizon
+    t_in = starts[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]  # [B, L]
+    t_out = (starts + L)[:, None] + jnp.arange(H, dtype=jnp.int32)[None, :]
+
+    src_b = src[:, None]
+    ser_b = series[:, None]
+    x = staged.X[src_b, t_in, ser_b][..., None]
+    y = staged.X[src_b, t_out, ser_b][..., None]
+    mask = staged.M[src_b, t_out, ser_b][..., None]
+
+    if staged.noise_std > 0.0:
+        if rng is None:
+            raise ValueError("add_noise_std augmentation requires a PRNG key")
+        rng, sub = jax.random.split(rng)
+        x = x + jax.random.normal(sub, x.shape, x.dtype) * staged.noise_std
+
+    batch: Dict[str, Any] = {
+        "x": x,
+        "y": y,
+        "mask": mask,
+        "row_valid": row_valid.astype(jnp.float32),
+        "x_mark": staged.marks[src_b, t_in] if staged.marks is not None else None,
+        "y_mark": (
+            staged.marks[src_b, t_out]
+            if (with_y_mark and staged.marks is not None)
+            else None
+        ),
+        "static": (
+            staged.static[series][:, None, :] if staged.static is not None else None
+        ),
+        "ids": series[:, None],
+    }
+    if staged.sigma is not None:
+        batch["floor"] = staged.sigma[series][:, None, None]
+    return batch
+
+
+def epoch_index_plan(
+    total: int,
+    batch_size: int,
+    padded_batch: Optional[int] = None,
+    *,
+    shuffle: bool,
+    drop_last: bool,
+    rng: Optional[np.random.Generator] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side epoch plan: ``(idx [S, B'], row_valid [S, B'])``.
+
+    ``padded_batch`` (data parallelism) right-pads every step to a mesh-
+    divisible row count with ``row_valid = 0`` rows, matching
+    :func:`~flow_timesnet_tpu.data.windows.pad_batch_rows`.
+    """
+
+    order = np.arange(total, dtype=np.int64)
+    if shuffle:
+        if rng is None:
+            raise ValueError("shuffle requires a host generator")
+        rng.shuffle(order)
+    n_full = total // batch_size
+    rows: List[np.ndarray] = [
+        order[b * batch_size : (b + 1) * batch_size] for b in range(n_full)
+    ]
+    valid: List[np.ndarray] = [np.ones(batch_size, np.float32) for _ in range(n_full)]
+    rem = total - n_full * batch_size
+    if rem > 0 and not drop_last:
+        tail = order[n_full * batch_size :]
+        rows.append(np.concatenate([tail, np.zeros(batch_size - rem, np.int64)]))
+        valid.append(
+            np.concatenate([np.ones(rem, np.float32), np.zeros(batch_size - rem, np.float32)])
+        )
+    if not rows:
+        return (
+            np.zeros((0, padded_batch or batch_size), np.int32),
+            np.zeros((0, padded_batch or batch_size), np.float32),
+        )
+    idx = np.stack(rows).astype(np.int32)
+    rv = np.stack(valid)
+    if padded_batch is not None and padded_batch > idx.shape[1]:
+        pad = padded_batch - idx.shape[1]
+        idx = np.pad(idx, ((0, 0), (0, pad)))
+        rv = np.pad(rv, ((0, 0), (0, pad)))
+    return idx, rv

@@ -81,6 +81,7 @@ class SlidingWindowSource:
         self.time_shift = int(augment.get("time_shift", 0))
         max_start = self.T - self.L - self.H
         step = max(1, int(stride))
+        self.stride = step
         self.starts = (
             np.zeros(0, dtype=np.int64)
             if max_start < 0

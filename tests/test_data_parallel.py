@@ -201,3 +201,61 @@ def test_dcn_2x4_mesh_matches_single_device(setup):
         )
         losses_dp.append(float(loss))
     np.testing.assert_allclose(losses_dp, losses_single, rtol=1e-5, atol=1e-6)
+
+
+def test_resident_epoch_dp_matches_single_device():
+    """Device-resident epoch scan under the mesh: staged arrays replicated,
+    [S, B] plan sharded on the batch axis — must reproduce the unsharded
+    resident trajectory (layout change only)."""
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from flow_timesnet_tpu.data.device_windows import epoch_index_plan
+    from flow_timesnet_tpu.parallel.mesh import replicated
+    from flow_timesnet_tpu.train import _stage_from_batcher
+    from flow_timesnet_tpu.data.windows import build_batcher
+
+    rng = np.random.default_rng(5)
+    N, L, H = 4, 16, 4
+    arrays = [rng.normal(4.0, 1.0, size=(60, N)).astype(np.float32)]
+    masks = [np.ones((60, N), np.float32)]
+    batcher = build_batcher(
+        arrays, masks, L, H, 1, "direct", batch_size=16, shuffle=False,
+        drop_last=True, series_ids=[np.arange(N)], pad_final=False,
+    )
+    cfg = TimesNetConfig(
+        input_len=L, pred_len=H, d_model=8, d_ff=16, n_layers=1, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", min_period_threshold=2,
+        c_in=1, id_vocab=N, id_embed_dim=4,
+    )
+    engine = Engine(cfg, use_loss_masking=True, num_series=N)
+
+    staged = _stage_from_batcher(batcher, None)
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(3), i))(
+        jnp.arange(idx.shape[0])
+    )
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    s_single = engine.init_state(jax.random.PRNGKey(0), init_batch)
+    s_single, losses_single, _ = engine.train_epoch_resident(
+        s_single, 1e-3, keys, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+
+    mesh = make_mesh()
+    plan_spec = NamedSharding(mesh, PartitionSpec(None, tuple(mesh.axis_names)))
+    staged_dp = _stage_from_batcher(
+        batcher, None, device_put=lambda a: jax.device_put(a, replicated(mesh))
+    )
+    s_dp = replicate(mesh, engine.init_state(jax.random.PRNGKey(0), init_batch))
+    s_dp, losses_dp, _ = engine.train_epoch_resident(
+        s_dp, 1e-3, jax.device_put(keys, replicated(mesh)), staged_dp,
+        jax.device_put(idx, plan_spec), jax.device_put(rv, plan_spec),
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_dp), np.asarray(losses_single), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s_dp.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s_single.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

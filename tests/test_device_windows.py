@@ -1,0 +1,220 @@
+"""Device-resident input pipeline: staging, in-program gather, epoch scan.
+
+The resident path must sample the *identical* distribution as the host
+:class:`WindowBatcher` (same flat-index semantics over concatenated folds)
+and train to the same parameters as the per-step path. Mirrors the role of
+the reference's dataloader tests (SURVEY §4) for the pipeline that replaces
+its DataLoader workers (reference ``train.py:218-227``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flow_timesnet_tpu.data.device_windows import (
+    epoch_index_plan,
+    gather_batch,
+    stage_windows,
+)
+from flow_timesnet_tpu.data.windows import build_batcher
+from flow_timesnet_tpu.engine import Engine, batch_to_device
+from flow_timesnet_tpu.models.timesnet import TimesNetConfig
+from flow_timesnet_tpu.train import _stage_from_batcher
+
+
+def _make_batcher(n_folds=2, T=40, N=3, L=8, H=4, stride=1, with_marks=True, seed=0):
+    rng = np.random.default_rng(seed)
+    arrays, masks, marks = [], [], []
+    for f in range(n_folds):
+        Tf = T + 3 * f  # distinct fold lengths exercise the T_max padding
+        arrays.append(rng.normal(5.0, 2.0, size=(Tf, N)).astype(np.float32))
+        masks.append((rng.random((Tf, N)) > 0.1).astype(np.float32))
+        marks.append(rng.normal(size=(Tf, 5)).astype(np.float32) if with_marks else None)
+    static = rng.normal(size=(N, 4)).astype(np.float32)
+    ids = np.arange(N, dtype=np.int64)
+    batcher = build_batcher(
+        arrays,
+        masks,
+        L,
+        H,
+        stride,
+        "direct",
+        batch_size=16,
+        shuffle=False,
+        drop_last=False,
+        series_static=[static] * n_folds,
+        series_ids=[ids] * n_folds,
+        time_features=marks if with_marks else None,
+        pad_final=True,
+    )
+    return batcher
+
+
+def test_gather_parity_with_host_batcher():
+    batcher = _make_batcher()
+    sigma = np.linspace(0.1, 0.3, 3).astype(np.float32)
+    staged = _stage_from_batcher(batcher, sigma)
+    assert staged is not None
+    assert staged.total == batcher.total
+
+    rng = np.random.default_rng(42)
+    idx = rng.choice(batcher.total, size=24, replace=False).astype(np.int64)
+    host = batcher._gather_global(idx, None)
+    dev = gather_batch(staged, jnp.asarray(idx), jnp.ones(len(idx), jnp.float32))
+
+    np.testing.assert_array_equal(np.asarray(dev["x"]), host.x)
+    np.testing.assert_array_equal(np.asarray(dev["y"]), host.y)
+    np.testing.assert_array_equal(np.asarray(dev["mask"]), host.mask)
+    np.testing.assert_array_equal(np.asarray(dev["x_mark"]), host.x_mark)
+    np.testing.assert_array_equal(np.asarray(dev["static"]), host.static)
+    np.testing.assert_array_equal(
+        np.asarray(dev["ids"]).astype(np.int64), host.series_ids.astype(np.int64)
+    )
+    # per-sample floor = sigma gathered by series id
+    np.testing.assert_allclose(
+        np.asarray(dev["floor"]).reshape(-1), sigma[np.asarray(dev["ids"]).reshape(-1)]
+    )
+
+
+def test_gather_parity_with_stride_and_recursive_horizon():
+    rng = np.random.default_rng(3)
+    arrays = [rng.normal(size=(57, 4)).astype(np.float32)]
+    masks = [np.ones((57, 4), np.float32)]
+    batcher = build_batcher(
+        arrays, masks, 12, 6, 3, "recursive", batch_size=8,
+        shuffle=False, drop_last=False, recursive_pred_len=6,
+        series_ids=[np.arange(4)], pad_final=False,
+    )
+    staged = _stage_from_batcher(batcher, None)
+    assert staged.total == batcher.total
+    idx = np.arange(batcher.total, dtype=np.int64)
+    host = batcher._gather_global(idx, None)
+    dev = gather_batch(staged, jnp.asarray(idx), jnp.ones(len(idx), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(dev["x"]), host.x)
+    np.testing.assert_array_equal(np.asarray(dev["y"]), host.y)
+
+
+def test_epoch_index_plan_shapes_and_padding():
+    idx, rv = epoch_index_plan(50, 16, None, shuffle=False, drop_last=False)
+    assert idx.shape == (4, 16) and rv.shape == (4, 16)
+    assert rv[:3].min() == 1.0
+    assert rv[3, :2].min() == 1.0 and rv[3, 2:].max() == 0.0
+    assert set(idx[rv > 0].tolist()) == set(range(50))
+
+    idx, rv = epoch_index_plan(50, 16, None, shuffle=False, drop_last=True)
+    assert idx.shape == (3, 16) and rv.min() == 1.0
+
+    # DP row padding on top of batch assembly
+    idx, rv = epoch_index_plan(50, 16, 24, shuffle=False, drop_last=True)
+    assert idx.shape == (3, 24)
+    assert rv[:, :16].min() == 1.0 and rv[:, 16:].max() == 0.0
+
+    with pytest.raises(ValueError):
+        epoch_index_plan(50, 16, None, shuffle=True, drop_last=True, rng=None)
+
+    rng = np.random.default_rng(0)
+    idx1, _ = epoch_index_plan(50, 16, None, shuffle=True, drop_last=True, rng=rng)
+    assert sorted(idx1.reshape(-1).tolist()) != idx1.reshape(-1).tolist()
+
+
+def _tiny_engine(N, L, H, with_marks, num_series=None):
+    cfg = TimesNetConfig(
+        input_len=L,
+        pred_len=H,
+        d_model=8,
+        d_ff=16,
+        n_layers=1,
+        k_periods=2,
+        kernel_set=((3, 3),),
+        dropout=0.0,
+        activation="gelu",
+        mode="direct",
+        id_embed_dim=4,
+        static_proj_dim=4,
+        c_in=1,
+        static_dim=4,
+        time_features=5 if with_marks else 0,
+        id_vocab=N,
+    )
+    return Engine(cfg, use_loss_masking=True, weight_decay=1e-6, num_series=num_series or N)
+
+
+def test_resident_epoch_matches_per_step_training():
+    batcher = _make_batcher(n_folds=2, N=3, L=8, H=4)
+    sigma = np.full(3, 0.15, np.float32)
+    staged = _stage_from_batcher(batcher, sigma)
+    engine = _tiny_engine(3, 8, 4, with_marks=True)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state_a = engine.init_state(jax.random.PRNGKey(0), init_batch)
+    state_b = engine.init_state(jax.random.PRNGKey(0), init_batch)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(7), i))(
+        jnp.arange(idx.shape[0])
+    )
+    state_a, losses_a, mask_true_a = engine.train_epoch_resident(
+        state_a, 1e-3, keys, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+
+    losses_b = []
+    for s in range(idx.shape[0]):
+        batch = engine.gather_staged_batch(staged, idx[s], rv[s])
+        state_b, loss, stats = engine.train_step(state_b, 1e-3, keys[s], batch, True)
+        losses_b.append(float(loss))
+
+    np.testing.assert_allclose(np.asarray(losses_a), np.asarray(losses_b), rtol=1e-5)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-6)
+
+
+def test_evaluate_resident_matches_host_evaluate():
+    batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, None)
+    engine = _tiny_engine(3, 8, 4, with_marks=True)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=False)
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state = engine.init_state(jax.random.PRNGKey(1), init_batch)
+
+    resident = engine.evaluate_resident(
+        state.params, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+    host = engine.evaluate(
+        state.params, (batch_to_device(b) for b in batcher)
+    )
+    assert resident["nll"] == pytest.approx(host["nll"], rel=1e-5)
+    assert resident["smape"] == pytest.approx(host["smape"], rel=1e-5)
+    np.testing.assert_allclose(
+        resident["series_sums"], host["series_sums"], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        resident["series_cnts"], host["series_cnts"], rtol=1e-5
+    )
+
+
+def test_augmentations_are_applied_in_program():
+    batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
+    src = batcher.sources[0]
+    staged = stage_windows(
+        [src.X], [src.M], src.L, src.H, src.stride, "direct",
+        marks=[src.marks],
+        augment={"add_noise_std": 0.5, "time_shift": 2},
+    )
+    idx = jnp.arange(12)
+    rv = jnp.ones(12, jnp.float32)
+    a = gather_batch(staged, idx, rv, jax.random.PRNGKey(0))
+    b = gather_batch(staged, idx, rv, jax.random.PRNGKey(1))
+    clean = gather_batch(
+        stage_windows([src.X], [src.M], src.L, src.H, src.stride, "direct",
+                      marks=[src.marks]),
+        idx, rv, None,
+    )
+    # different keys -> different noise/shift; both differ from clean
+    assert not np.allclose(np.asarray(a["x"]), np.asarray(b["x"]))
+    assert not np.allclose(np.asarray(a["x"]), np.asarray(clean["x"]))
+    with pytest.raises(ValueError):
+        gather_batch(staged, idx, rv, None)
