@@ -156,8 +156,7 @@ def _native_read_long_pivot(
     if isinstance(result, int):  # any CP_E_* status, incl. duplicates
         return None
     values, filled, days, ids = result
-    values = values.astype(float)
-    values[~filled] = np.nan
+    values[~filled] = np.nan  # already float64 through the ABI
     index = pd.DatetimeIndex(days.astype("datetime64[D]"))
     wide = pd.DataFrame(values, index=index, columns=ids)
     if fill_missing_dates and len(index):

@@ -37,15 +37,16 @@
 namespace {
 
 constexpr int64_t CP_E_IO = -1;        // cannot read the file
-constexpr int64_t CP_E_SYNTAX = -2;    // record too short / stray quote
+constexpr int64_t CP_E_SYNTAX = -2;    // record length mismatch / stray quote
 constexpr int64_t CP_E_DATE = -3;      // non-ISO date -> pandas fallback
 constexpr int64_t CP_E_FLOAT = -4;     // unparsable target value
 constexpr int64_t CP_E_DUPLICATE = -5; // same (date, id) twice
+constexpr int64_t CP_E_IDFORM = -6;    // id would be dtype-inferred by pandas
 
 struct Parsed {
   std::vector<int64_t> days;        // [T] unique days since epoch, ascending
   std::vector<std::string> ids;     // [N] normalised ids, byte-sorted
-  std::vector<float> values;        // [T * N] row-major, NaN = absent/NaN
+  std::vector<double> values;       // [T * N] row-major f64, NaN = absent/NaN
   std::vector<uint8_t> filled;      // [T * N] cell present in the long frame
 };
 
@@ -134,11 +135,12 @@ bool parse_iso_date(const char* s, size_t len, int64_t* out) {
 
 // ------------------------------------------------------------------ floats
 
-bool parse_target(const char* s, size_t len, float* out) {
+bool parse_target(const char* s, size_t len, double* out) {
   while (len && (*s == ' ' || *s == '\t')) { ++s; --len; }
   while (len && (s[len - 1] == ' ' || s[len - 1] == '\t')) --len;
   if (len == 0) { *out = NAN; return true; } // empty cell -> NaN, present
   // fast path: plain (signed) integers — the dominant case for demand counts
+  // (<= 15 digits fits a double exactly, like the pandas float64 path)
   {
     const char* p = s;
     size_t n = len;
@@ -153,7 +155,7 @@ bool parse_target(const char* s, size_t len, float* out) {
         v = v * 10 + (c - '0');
       }
       if (i == n) {
-        *out = static_cast<float>(neg ? -v : v);
+        *out = static_cast<double>(neg ? -v : v);
         return true;
       }
     }
@@ -164,8 +166,38 @@ bool parse_target(const char* s, size_t len, float* out) {
   char* endp = nullptr;
   const double v = std::strtod(tmp.c_str(), &endp);
   if (endp != tmp.c_str() + tmp.size()) return false;
-  *out = static_cast<float>(v);
+  *out = v;
   return true;
+}
+
+// pandas' read_csv dtype-infers the id column BEFORE our normalize_id sees
+// it: a fully numeric column round-trips through int64/float64 ('007' ->
+// '7', '1.50' -> '1.5') and default NA tokens become NaN regardless of
+// dtype. Any id whose raw bytes would be touched by that machinery makes
+// the two paths diverge, so the fast path declines (pandas stays the
+// semantic oracle). Declining too eagerly only costs a fallback.
+bool id_diverges_under_pandas(const char* s, size_t len) {
+  static const char* kNaTokens[] = {
+      "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+      "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+      "n/a", "nan", "null",
+  };
+  const std::string raw(s, len);
+  for (const char* tok : kNaTokens)
+    if (raw == tok) return true;
+  // numeric check on the whitespace-trimmed bytes (the C tokenizer
+  // tolerates surrounding blanks when converting)
+  const char* b = s;
+  size_t n = len;
+  while (n && (*b == ' ' || *b == '\t')) { ++b; --n; }
+  while (n && (b[n - 1] == ' ' || b[n - 1] == '\t')) --n;
+  if (n == 0) return true;
+  for (size_t i = 0; i < n; ++i)
+    if (b[i] == 'x' || b[i] == 'X') return false; // hex stays object dtype
+  std::string tmp(b, n);
+  char* endp = nullptr;
+  (void)std::strtod(tmp.c_str(), &endp);
+  return endp == tmp.c_str() + tmp.size();
 }
 
 // --------------------------------------------------------------- tokenizer
@@ -268,7 +300,7 @@ Parsed* parse_file(const char* path, int64_t date_idx, int64_t id_idx,
   const int64_t needed = std::max(date_idx, std::max(id_idx, target_idx)) + 1;
 
   // per-row staging
-  struct Row { int64_t day; int32_t id; float value; };
+  struct Row { int64_t day; int32_t id; double value; };
   std::vector<Row> rows;
   rows.reserve(1 << 16);
   std::unordered_map<std::string, int32_t> id_map;
@@ -280,6 +312,7 @@ Parsed* parse_file(const char* path, int64_t date_idx, int64_t id_idx,
   std::vector<int64_t> day_list;
 
   int64_t field_i = 0;
+  int64_t header_n = -1;
   bool in_header = true;
   // Raw fields are staged per record and parsed at record end so blank
   // lines (which pandas skips) never reach the date/float parsers.
@@ -298,12 +331,19 @@ Parsed* parse_file(const char* path, int64_t date_idx, int64_t id_idx,
   auto on_record = [&]() -> int64_t {
     const int64_t n = field_i;
     field_i = 0;
-    if (in_header) { in_header = false; return 0; }
+    if (in_header) {
+      in_header = false;
+      header_n = n;
+      return 0;
+    }
     const bool blank = f_blank;
     f_blank = true;
     if (n == 1 && blank) return 0; // blank line (pandas: skip_blank_lines)
     if (n < needed) return CP_E_SYNTAX;
-    Row cur{0, -1, 0.0f};
+    // pandas rejects (ParserError) or index-shifts records wider than the
+    // header — either way the fast path must not silently accept them
+    if (n > header_n) return CP_E_SYNTAX;
+    Row cur{0, -1, 0.0};
     if (!parse_iso_date(f_date.data(), f_date.size(), &cur.day))
       return CP_E_DATE;
     if (!parse_target(f_tgt.data(), f_tgt.size(), &cur.value))
@@ -312,6 +352,8 @@ Parsed* parse_file(const char* path, int64_t date_idx, int64_t id_idx,
     if (rit != raw_id_map.end()) {
       cur.id = rit->second;
     } else {
+      if (id_diverges_under_pandas(f_id.data(), f_id.size()))
+        return CP_E_IDFORM;
       std::string norm = normalize_id(f_id.data(), f_id.size());
       auto idit = id_map.find(norm);
       if (idit == id_map.end()) {
@@ -382,7 +424,7 @@ Parsed* parse_file(const char* path, int64_t date_idx, int64_t id_idx,
 
 extern "C" {
 
-int csv_pivot_abi_version() { return 1; }
+int csv_pivot_abi_version() { return 2; }
 
 // Parse; returns an opaque handle (>0) or a negative CP_E_* status.
 int64_t csv_pivot_parse(const char* path, int64_t date_idx, int64_t id_idx,
@@ -402,12 +444,13 @@ void csv_pivot_dims(int64_t handle, int64_t* T, int64_t* N, int64_t* id_bytes) {
   *id_bytes = total;
 }
 
-// values: [T*N] f32 (NaN where absent); filled: [T*N] u8; days: [T] i64
-// (days since 1970-01-01); ids: concatenated NUL-terminated UTF-8 strings.
-void csv_pivot_fill(int64_t handle, float* values, uint8_t* filled,
+// values: [T*N] f64 (NaN where absent — matches pandas' float64 exactly);
+// filled: [T*N] u8; days: [T] i64 (days since 1970-01-01); ids:
+// concatenated NUL-terminated UTF-8 strings.
+void csv_pivot_fill(int64_t handle, double* values, uint8_t* filled,
                     int64_t* days, char* ids) {
   const Parsed* p = reinterpret_cast<const Parsed*>(handle);
-  std::memcpy(values, p->values.data(), p->values.size() * sizeof(float));
+  std::memcpy(values, p->values.data(), p->values.size() * sizeof(double));
   std::memcpy(filled, p->filled.data(), p->filled.size());
   std::memcpy(days, p->days.data(), p->days.size() * sizeof(int64_t));
   char* w = ids;

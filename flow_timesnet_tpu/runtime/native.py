@@ -178,14 +178,14 @@ def _load_csv_pivot() -> Optional[ctypes.CDLL]:
         lib.csv_pivot_dims.argtypes = [i64, i64p, i64p, i64p]
         lib.csv_pivot_dims.restype = None
         lib.csv_pivot_fill.argtypes = [
-            i64, ctypes.POINTER(ctypes.c_float),
+            i64, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_uint8), i64p, ctypes.c_char_p,
         ]
         lib.csv_pivot_fill.restype = None
         lib.csv_pivot_free.argtypes = [i64]
         lib.csv_pivot_free.restype = None
         lib.csv_pivot_abi_version.restype = ctypes.c_int
-        if lib.csv_pivot_abi_version() != 1:
+        if lib.csv_pivot_abi_version() != 2:
             return None
         _CSV_LIB = lib
         return _CSV_LIB
@@ -203,8 +203,12 @@ class NativeCsvPivot:
         self._lib = lib
 
     def parse(self, path: str, date_idx: int, id_idx: int, target_idx: int):
-        """Returns (values [T,N] f32 w/ NaN, filled [T,N] bool, days [T] i64,
-        ids list[str]) or the negative status code on failure."""
+        """Returns (values [T,N] f64 w/ NaN, filled [T,N] bool, days [T] i64,
+        ids list[str]) or the negative status code on failure.
+
+        Values travel as float64 end-to-end so the fast path matches the
+        pandas float64 oracle bit-for-bit (ADVICE r2: f32 storage silently
+        rounded 16777217 and 0.1)."""
 
         handle = self._lib.csv_pivot_parse(
             os.fsencode(path), date_idx, id_idx, target_idx
@@ -219,13 +223,13 @@ class NativeCsvPivot:
                 handle, ctypes.byref(T), ctypes.byref(N), ctypes.byref(id_bytes)
             )
             t, n = T.value, N.value
-            values = np.empty((t, n), np.float32)
+            values = np.empty((t, n), np.float64)
             filled = np.empty((t, n), np.uint8)
             days = np.empty((t,), np.int64)
             raw_ids = ctypes.create_string_buffer(max(int(id_bytes.value), 1))
             self._lib.csv_pivot_fill(
                 handle,
-                values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 filled.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 days.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 raw_ids,
@@ -243,3 +247,14 @@ class NativeCsvPivot:
 def get_native_csv_pivot() -> Optional[NativeCsvPivot]:
     lib = _load_csv_pivot()
     return NativeCsvPivot(lib) if lib is not None else None
+
+
+def reset_native_cache_for_tests() -> None:
+    """Forget loaded libraries so FLOW_TIMESNET_DISABLE_NATIVE (read at load
+    time) can be toggled inside one test process."""
+
+    global _LIB, _TRIED, _CSV_LIB, _CSV_TRIED
+    with _LOCK:
+        _LIB, _TRIED = None, False
+    with _CSV_LOCK:
+        _CSV_LIB, _CSV_TRIED = None, False

@@ -204,23 +204,116 @@ def test_random_fuzz_against_pandas(tmp_path):
         )
 
 
+def test_float64_exactness_beyond_f32(tmp_path):
+    """Values that float32 rounds must survive exactly (ADVICE r2 medium)."""
+
+    lines = [
+        "date,id,target",
+        "2024-01-01,a,16777217",          # 2^24 + 1 (f32 rounds to 16777216)
+        "2024-01-01,b,0.1",               # f32 -> 0.10000000149...
+        "2024-01-02,a,9007199254740993",  # 2^53 + 1: > 15 digits, strtod path
+        "2024-01-02,b,-1234567890123456.25",
+    ]
+    path = _write(tmp_path, "\n".join(lines) + "\n")
+    native = _native_read_long_pivot(path, "date", "id", "target", True, "utf-8")
+    ref = _pandas(path, fillna0=False)
+    _assert_same(native, ref)
+    assert native.loc["2024-01-01", "a"] == 16777217.0
+    assert native.loc["2024-01-01", "b"] == 0.1
+
+
+@pytest.mark.parametrize(
+    "bad_id",
+    ["007", "1.50", "NA", "nan", " 42 ", "-3", "1e3", "NULL", "", "inf"],
+)
+def test_numeric_or_na_ids_decline_to_pandas(tmp_path, bad_id):
+    """Ids pandas would dtype-infer or NA-filter make the native engine
+    decline so the pandas path stays the oracle (ADVICE r2 medium) — whether
+    the oracle then succeeds with different column names ('007' -> '7') or
+    raises (NaN ids), the fast path must never answer differently."""
+
+    lines = [
+        "date,id,target",
+        f'2024-01-01,"{bad_id}",1',
+        "2024-01-01,alpha,2",
+    ]
+    path = _write(tmp_path, "\n".join(lines) + "\n")
+    native = _native_read_long_pivot(path, "date", "id", "target", True, "utf-8")
+    assert native is None
+
+
+@pytest.mark.parametrize("numeric_id,pandas_name", [("007", "7"), ("1.50", "1.5")])
+def test_numeric_id_fallback_matches_pandas_naming(tmp_path, numeric_id, pandas_name):
+    lines = ["date,id,target", f"2024-01-01,{numeric_id},1"]
+    path = _write(tmp_path, "\n".join(lines) + "\n")
+    wide = read_long_pivot(path, "date", "id", "target", fillna0=False)
+    assert list(wide.columns) == [pandas_name]  # pandas dtype inference wins
+
+
+def test_hex_like_ids_stay_native(tmp_path):
+    # strtod would parse 0x1A but pandas keeps it an object column
+    lines = ["date,id,target", "2024-01-01,0x1A,1", "2024-01-01,alpha,2"]
+    path = _write(tmp_path, "\n".join(lines) + "\n")
+    native = _native_read_long_pivot(path, "date", "id", "target", True, "utf-8")
+    _assert_same(native, _pandas(path, fillna0=False))
+
+
+def test_record_wider_than_header_declines(tmp_path):
+    """pandas rejects or index-shifts over-wide records; the fast path must
+    decline rather than silently ignore the extra fields (ADVICE r2 low)."""
+
+    lines = [
+        "date,id,target",
+        "2024-01-01,alpha,1",
+        "2024-01-02,alpha,2,EXTRA",
+    ]
+    path = _write(tmp_path, "\n".join(lines) + "\n")
+    native = _native_read_long_pivot(path, "date", "id", "target", True, "utf-8")
+    assert native is None
+
+
 def test_train_once_uses_native_path_transparently(tmp_path, monkeypatch):
-    # End-to-end: the train pipeline's eligibility gate (all roles
-    # configured + exactly 3 columns) routes through read_long_pivot and
-    # produces the same wide frame either way.
-    import flow_timesnet_tpu.data.pivot as pivot_mod
+    """Drive the real train pipeline twice — native engine on and genuinely
+    off (loader cache reset so the env gate re-evaluates) — and require the
+    identical best validation NLL (ADVICE r2 low: the old version never
+    called train_once and its monkeypatch was a no-op)."""
+
+    from flow_timesnet_tpu.runtime import native as native_mod
+    from flow_timesnet_tpu.train import train_once
 
     lines = ["date,id,target"]
     rng = np.random.default_rng(1)
-    for d in pd.date_range("2024-01-01", periods=40, freq="D"):
-        for sid in ["a", "b"]:
+    for d in pd.date_range("2024-01-01", periods=70, freq="D"):
+        for sid in ["a_store", "b_store"]:
             lines.append(f"{d.date()},{sid},{rng.integers(0, 9)}")
     path = _write(tmp_path, "\n".join(lines) + "\n")
-    via_native = read_long_pivot(path, "date", "id", "target", fillna0=False)
+
+    def cfg(tag):
+        return {
+            "data": {"train_csv": path, "date_col": "date", "id_col": "id",
+                     "target_col": "target", "horizon": 4},
+            "preprocess": {"normalize": "none"},
+            "train": {"device": "cpu", "epochs": 1, "batch_size": 8,
+                      "lr": 1e-3, "use_loss_masking": True,
+                      "val": {"strategy": "holdout", "holdout_days": 20}},
+            "model": {"mode": "direct", "input_len": 14, "pred_len": 4,
+                      "d_model": 8, "d_ff": 16, "n_layers": 1, "k_periods": 2,
+                      "kernel_set": [[3, 3]], "dropout": 0.0,
+                      "id_embed_dim": 4, "static_proj_dim": 4},
+            "artifacts": {"dir": str(tmp_path / tag)},
+            "tuning": {"seed": 7},
+        }
+
+    assert native_mod.get_native_csv_pivot() is not None
+    nll_native, _ = train_once(cfg("native"))
+
     monkeypatch.setenv("FLOW_TIMESNET_DISABLE_NATIVE", "1")
-    # env var is checked at load time; simulate the fallback directly
-    via_pandas = _pandas(path, fillna0=False)
-    np.testing.assert_allclose(
-        np.nan_to_num(via_native.to_numpy(float), nan=-1.0),
-        np.nan_to_num(via_pandas.to_numpy(float), nan=-1.0),
-    )
+    native_mod.reset_native_cache_for_tests()
+    try:
+        assert native_mod.get_native_csv_pivot() is None  # gate really off
+        nll_pandas, _ = train_once(cfg("pandas"))
+    finally:
+        monkeypatch.delenv("FLOW_TIMESNET_DISABLE_NATIVE")
+        native_mod.reset_native_cache_for_tests()
+
+    assert nll_native == pytest.approx(nll_pandas, rel=1e-6)
