@@ -213,6 +213,7 @@ class ModelConfig:
     period_binning: Any = None  # log base | per-depth str schedule | None
     compute_dtype: str = "float32"  # float32 | bfloat16
     period_buckets: Any = None  # None | "auto" | cap list: bucketed fold programs
+    period_cap: Any = None  # static max considered period (None = input_len)
 
     @classmethod
     def from_mapping(cls, mapping: Mapping[str, Any]) -> "ModelConfig":
@@ -253,6 +254,7 @@ class ModelConfig:
             period_binning=data.get("period_binning"),
             compute_dtype=str(data.get("compute_dtype", "float32")),
             period_buckets=data.get("period_buckets"),
+            period_cap=data.get("period_cap"),
         )
 
     def to_dict(self, window: WindowConfig) -> Dict[str, Any]:
@@ -282,6 +284,7 @@ class ModelConfig:
             "period_binning": self.period_binning,
             "compute_dtype": self.compute_dtype,
             "period_buckets": self.period_buckets,
+            "period_cap": self.period_cap,
         }
 
 

@@ -135,6 +135,12 @@ class Forecaster:
             period_binning=model_raw.get("period_binning"),
             compute_dtype=str(model_raw.get("compute_dtype", "float32")),
             use_pallas=bool(model_raw.get("use_pallas", False)),
+            period_buckets=model_raw.get("period_buckets"),
+            period_cap=(
+                int(model_raw["period_cap"])
+                if model_raw.get("period_cap") is not None
+                else None
+            ),
         )
         engine = Engine(tn_cfg, num_series=len(ids))
         return cls(

@@ -98,6 +98,13 @@ class TimesNetConfig:
     # bucketed fold compilation: None | "auto" | iterable of static period
     # caps — see models/timesblock.py::resolve_period_buckets
     period_buckets: object = None
+    # static upper bound on considered periods (None = input_len, the
+    # reference's fixed pmax, timesnet.py:1437-1441). Tightening it shrinks
+    # the padded fold extent Lp = L + cap, cutting tap-conv FLOPs/HBM traffic
+    # when the data's dominant periods are known to be short (e.g. weekly
+    # cycles on daily retail data). Longer candidates are clamped to the cap
+    # exactly like the reference clamps to pmax.
+    period_cap: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("direct", "recursive"):
@@ -247,6 +254,8 @@ class TimesNet(nn.Module):
         # Shared period selection + TimesBlock stack
         # ------------------------------------------------------------------
         pmax = L  # reference: FFTPeriodSelector(pmax=input_len) (timesnet.py:1437-1441)
+        if cfg.period_cap is not None:
+            pmax = min(pmax, max(1, int(cfg.period_cap)))
         min_thresh = min(pmax, max(1, cfg.min_period_threshold))
 
         def selector(feat: Array) -> PeriodSelection:

@@ -90,26 +90,89 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
 
     Arrays whose leading dim is not divisible by the mesh size are
     replicated instead (scalars, per-series tables, etc.).
+
+    Multi-process runtimes (``jax.process_count() > 1``) cannot
+    ``device_put`` a host array against a sharding that spans non-addressable
+    devices; there each host contributes its shard via
+    ``jax.make_array_from_process_local_data``, which assumes the host array
+    is the full GLOBAL batch (every host loads the same windows — correct
+    for this pipeline, whose batcher is seeded identically on every host)
+    and slices out this process's rows.
     """
 
     n = mesh.devices.size
     spec_b = batch_sharding(mesh)
     spec_r = replicated(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         if x is None:
             return None
         arr = np.asarray(x)
         if arr.ndim >= 1 and arr.shape[0] % n == 0 and arr.shape[0] > 0:
+            if multiprocess:
+                local = _local_rows(arr, spec_b)
+                return jax.make_array_from_process_local_data(
+                    spec_b, local, arr.shape
+                )
             return jax.device_put(arr, spec_b)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(spec_r, arr, arr.shape)
         return jax.device_put(arr, spec_r)
 
     return jax.tree_util.tree_map(put, tree)
 
 
+def _local_rows(arr: np.ndarray, sharding: NamedSharding) -> np.ndarray:
+    """Rows of the global batch owned by this process under ``sharding``."""
+
+    rows = sorted(
+        {
+            idx[0].indices(arr.shape[0])
+            for d, idx in sharding.devices_indices_map(arr.shape).items()
+            if d.process_index == jax.process_index()
+        }
+    )
+    return np.concatenate([arr[start:stop:step] for start, stop, step in rows])
+
+
+def host_fetch(tree: Any) -> Any:
+    """``jax.device_get`` that also works for cross-process sharded leaves.
+
+    Single-process: plain device_get. Multi-process: non-fully-addressable
+    leaves (e.g. the row-sharded series-embedding table) are allgathered
+    across processes first so every host gets the assembled global array —
+    required by the checkpoint/save paths (VERDICT r2 #5).
+    """
+
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def _put_global(x: Any, sharding: NamedSharding) -> Any:
+    """Place one host array on the mesh, multi-process-safe."""
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(jax.device_get(x))
+    from jax.sharding import PartitionSpec as _P
+
+    local = arr if sharding.spec == _P() else _local_rows(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, local, arr.shape)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     spec = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), tree)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, spec), tree)
 
 
 def _path_names(path) -> tuple:
@@ -143,7 +206,7 @@ def shard_train_state(
             and leaf.shape[0] % n == 0
             and table_name in _path_names(path)
         ):
-            return jax.device_put(leaf, spec_t)
-        return jax.device_put(leaf, spec_r)
+            return _put_global(leaf, spec_t)
+        return _put_global(leaf, spec_r)
 
     return jax.tree_util.tree_map_with_path(put, state)

@@ -503,6 +503,12 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         period_binning=model_cfg_raw.get("period_binning"),
         compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
         use_pallas=bool(model_cfg_raw.get("use_pallas", False)),
+        period_buckets=model_cfg_raw.get("period_buckets"),
+        period_cap=(
+            int(model_cfg_raw["period_cap"])
+            if model_cfg_raw.get("period_cap") is not None
+            else None
+        ),
     )
     engine = Engine(tn_cfg, num_series=len(ids))
 

@@ -41,7 +41,13 @@ from .data.windows import build_batcher, pad_batch_rows
 from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
-from .parallel.mesh import make_mesh, replicated, shard_batch, shard_train_state
+from .parallel.mesh import (
+    host_fetch,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_train_state,
+)
 from .utils import artifacts as artifacts_io
 from .utils import metadata as metadata_utils
 from .utils.logging import console, print_config
@@ -517,6 +523,12 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         ),
         compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
         use_pallas=bool(model_cfg_raw.get("use_pallas", False)),
+        period_buckets=model_cfg_raw.get("period_buckets"),
+        period_cap=(
+            int(model_cfg_raw["period_cap"])
+            if model_cfg_raw.get("period_cap") is not None
+            else None
+        ),
     )
 
     engine = Engine(
@@ -837,7 +849,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             best_wsmape = wsmape_from_series_sums(
                 metrics["series_sums"], metrics["series_cnts"], ids
             )
-            best_params = jax.device_get(state.params)
+            best_params = host_fetch(state.params)
             best_epoch = ep
             patience = 0
         else:
@@ -862,7 +874,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
                 )
             artifacts_io.save_train_state(
                 train_state_path,
-                jax.device_get(state),
+                host_fetch(state),
                 {
                     "epoch": ep,
                     "best_nll": best_nll,
@@ -879,7 +891,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         f"(val_smape={best_smape:.6f}, val_wsmape={best_wsmape:.6f})[/bold]"
     )
     if best_params is None:
-        best_params = jax.device_get(state.params)
+        best_params = host_fetch(state.params)
 
     # --------------------------------------------------------------- artifacts
     art_dir = cfg["artifacts"].get("dir", "outputs/artifacts")

@@ -107,19 +107,45 @@ def tune(
         best_params = dict(study.best_params)
         best_value = float(study.best_value)
     else:
-        console().print(
-            "[yellow]optuna unavailable; using built-in seeded random search.[/yellow]"
-        )
-        rng = random.Random(seed)
-        best_params = {}
-        best_value = float("inf")
-        for i in range(trials):
-            params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
-            value = run_with(params)
-            console().print(f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]")
-            if value < best_value:
-                best_value = value
-                best_params = dict(params)
+        sampler_name = str(tuning_cfg.get("sampler", "tpe")).lower()
+        if sampler_name == "random":
+            console().print("[yellow]built-in seeded random search.[/yellow]")
+            rng = random.Random(seed)
+            best_params = {}
+            best_value = float("inf")
+            for i in range(trials):
+                params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
+                value = run_with(params)
+                console().print(
+                    f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]"
+                )
+                if value < best_value:
+                    best_value = value
+                    best_params = dict(params)
+        else:
+            # In-repo TPE (same algorithm family as optuna's default sampler)
+            # so environments without optuna still get model-based search.
+            from .tpe import TPESampler
+
+            console().print(
+                "[yellow]optuna unavailable; using the built-in TPE sampler.[/yellow]"
+            )
+            sampler = TPESampler(
+                space, seed=seed,
+                n_startup=min(5, max(2, trials // 3)),
+            )
+            best_params = {}
+            best_value = float("inf")
+            for i in range(trials):
+                params = sampler.suggest()
+                value = run_with(params)
+                sampler.observe(value, params)
+                console().print(
+                    f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]"
+                )
+                if value < best_value:
+                    best_value = value
+                    best_params = dict(params)
 
     save_json({"best_value": best_value, "best_params": best_params},
               os.path.join(out_dir, "best_params.json"))

@@ -143,3 +143,43 @@ def test_period_buckets_explicit_ladder_and_off():
     assert resolve_period_buckets("auto", 28, 27) == (7, 14, 27)
     assert resolve_period_buckets([8, 4, 99], 28, 27) == (4, 8, 27)
     assert resolve_period_buckets("4 8", 28, 27) == (4, 8, 27)
+
+
+def test_period_cap_preserves_outputs_when_periods_fit():
+    """period_cap tightens the fold extent (Lp = L + cap); when the data's
+    selected periods all fit under the cap the forward must be unchanged
+    (the cap only removes padded overcompute, never real taps)."""
+
+    import jax
+
+    from flow_timesnet_tpu.models.timesnet import TimesNet, TimesNetConfig
+
+    L, B = 24, 3
+    rng = np.random.default_rng(0)
+    t = np.arange(L, dtype=np.float32)
+    x = (
+        3.0
+        + np.sin(2 * np.pi * t / 6.0)[None, :, None]
+        + 0.8 * np.cos(2 * np.pi * t / 8.0)[None, :, None]
+        + 0.01 * rng.standard_normal((B, L, 1))
+    ).astype(np.float32)
+
+    kw = dict(
+        input_len=L, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", c_in=1, id_vocab=1,
+        id_embed_dim=0, min_period_threshold=2,
+    )
+    full = TimesNet(TimesNetConfig(**kw))
+    capped = TimesNet(TimesNetConfig(**kw, period_cap=12))
+    params = full.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                       None, None, None, deterministic=True)["params"]
+    out_full = full.apply({"params": params}, jnp.asarray(x), None, None, None,
+                          deterministic=True)
+    out_cap = capped.apply({"params": params}, jnp.asarray(x), None, None, None,
+                           deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_cap[0]), np.asarray(out_full[0]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cap[1]), np.asarray(out_full[1]), rtol=1e-5, atol=1e-6
+    )
