@@ -72,7 +72,7 @@ def _pick_b_tile(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kh", "kw", "L", "Lp", "interpret", "b_tile")
+    jax.jit, static_argnames=("kh", "kw", "L", "Lp", "interpret", "b_tile", "sign")
 )
 def _tap_conv_pallas_impl(
     h: Array,
@@ -87,7 +87,14 @@ def _tap_conv_pallas_impl(
     Lp: int,
     interpret: bool,
     b_tile: int,
+    sign: int = 1,
 ) -> Array:
+    """``sign=+1``: forward taps ``x[t + dc*p + dj]`` with the fold-validity
+    masks. ``sign=-1``: the adjoint — taps ``x[s - dc*p - dj]`` with the
+    transposed masks (``ops.fold._bwd_mask``), used by the Pallas backward
+    for dL/dh. Same kernel body either way; only shift directions and the
+    mask formula differ (VERDICT r2 #9)."""
+
     K, B, _, Cin = h.shape
     Cout = kernel.shape[-1]
     rh, rw = kh // 2, kw // 2
@@ -114,14 +121,22 @@ def _tap_conv_pallas_impl(
         # MXU dot (wide contraction, few iterations).
         def body(i, acc):
             dc = i - rh
-            row_ok = ((row + dc) >= 0) & ((row + dc) < cyc)
-            start = pad + dc * p - rw
+            start = pad + sign * dc * p - rw
+            if sign > 0:
+                row_ok = ((row + dc) >= 0) & ((row + dc) < cyc)
             taps = []
             for j in range(kw):  # static, small
                 dj = j - rw
-                col_ok = ((col + dj) >= 0) & ((col + dj) < p)
-                mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
-                tap = h_ref[0, :, pl.ds(start + j, Lp), :]  # [b_tile, Lp, Cin]
+                if sign > 0:
+                    col_ok = ((col + dj) >= 0) & ((col + dj) < p)
+                    mask = (row_ok & col_ok).astype(jnp.float32)  # [Lp, 1]
+                else:
+                    # transposed masks (ops.fold._bwd_mask): dc-independent
+                    c2 = (col - dj) % p
+                    col_ok = ((c2 + dj) >= 0) & ((c2 + dj) < p)
+                    r2 = (t - dj) // p
+                    mask = (col_ok & (r2 >= 0) & (r2 < cyc)).astype(jnp.float32)
+                tap = h_ref[0, :, pl.ds(start + rw + sign * dj, Lp), :]
                 taps.append(tap.astype(jnp.float32) * mask[None, :, :])
             stack = jnp.concatenate(taps, axis=-1)  # [b_tile, Lp, kw*Cin]
             return acc + jax.lax.dot_general(
@@ -188,17 +203,44 @@ def _tap_conv_fwd(h, periods, cycles, kernel, bias, kh, kw, L, Lp, interpret, b_
 
 
 def _tap_conv_bwd(kh, kw, L, Lp, interpret, b_tile, residuals, g):
+    import os
+
     from .fold import make_geometry, tap_conv as tap_conv_xla
 
     h, periods, kernel, bias = residuals
     geom = make_geometry(periods, L, p_cap=Lp - L)
+    zero_i = np.zeros(periods.shape, dtype=jax.dtypes.float0)
+
+    if os.environ.get("FLOW_TIMESNET_PALLAS_BWD"):
+        # dL/dh through the SAME Pallas kernel with negated shifts and
+        # transposed masks (the adjoint derivation in ops/fold.py's module
+        # docstring); dW/db stay in XLA — the tap-stack outer product is one
+        # big matmul XLA already fuses well (VERDICT r2 #9 experiment).
+        from .fold import _tap_weight_grad
+
+        ct = g.astype(jnp.float32)
+        K, B, _, Cout = ct.shape
+        Cin = h.shape[-1]
+        w_t = jnp.transpose(kernel, (0, 1, 3, 2)).astype(jnp.float32)  # [kh,kw,Cout,Cin]
+        rh, rw = kh // 2, kw // 2
+        pad = rh * (Lp - L) + rw
+        bt = _pick_b_tile(B, Lp + 2 * pad, Lp, Cout, Cin, kw)
+        dh = _tap_conv_pallas_impl(
+            ct, periods, geom.cycles, w_t, jnp.zeros((Cin,), jnp.float32),
+            kh=kh, kw=kw, L=L, Lp=Lp, interpret=interpret, b_tile=bt, sign=-1,
+        )
+        dkernel = _tap_weight_grad(
+            h.astype(jnp.float32), geom.periods, geom.cycles, geom.col, geom.row,
+            ct, kh, kw, Lp, L,
+        ).astype(kernel.dtype)
+        dbias = g.sum(axis=(0, 1, 2)).astype(bias.dtype)
+        return dh.astype(h.dtype), zero_i, zero_i, dkernel, dbias
 
     def ref(h_, kernel_, bias_):
         return tap_conv_xla(h_, geom, kernel_, bias_, kh, kw)
 
     _, vjp = jax.vjp(ref, h, kernel, bias)
     dh, dkernel, dbias = vjp(g.astype(jnp.float32))
-    zero_i = np.zeros(periods.shape, dtype=jax.dtypes.float0)
     return dh.astype(h.dtype), zero_i, zero_i, dkernel, dbias
 
 
