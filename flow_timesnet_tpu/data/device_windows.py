@@ -208,19 +208,30 @@ def gather_batch(
         rng, sub = jax.random.split(rng)
         x = x + jax.random.normal(sub, x.shape, x.dtype) * staged.noise_std
 
+    # Zero padded rows exactly like the host pipeline's pad_batch_rows: the
+    # FFT selector pools amplitude statistics over the BATCH, so padded-row
+    # CONTENT influences every row's period selection — the two pipelines
+    # must agree bit-for-bit on what a padded row contains.
+    rv = row_valid.astype(jnp.float32)
+    rv3 = rv[:, None, None]
+    series = (series * rv.astype(series.dtype).reshape(series.shape)).astype(jnp.int32)
     batch: Dict[str, Any] = {
-        "x": x,
-        "y": y,
-        "mask": mask,
-        "row_valid": row_valid.astype(jnp.float32),
-        "x_mark": staged.marks[src_b, t_in] if staged.marks is not None else None,
+        "x": x * rv3,
+        "y": y * rv3,
+        "mask": mask * rv3,
+        "row_valid": rv,
+        "x_mark": (
+            staged.marks[src_b, t_in] * rv3 if staged.marks is not None else None
+        ),
         "y_mark": (
-            staged.marks[src_b, t_out]
+            staged.marks[src_b, t_out] * rv3
             if (with_y_mark and staged.marks is not None)
             else None
         ),
         "static": (
-            staged.static[series][:, None, :] if staged.static is not None else None
+            staged.static[series][:, None, :] * rv3
+            if staged.static is not None
+            else None
         ),
         "ids": series[:, None],
     }

@@ -110,10 +110,26 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
             return None
         return fc.sigma_vector[batch.series_ids.reshape(-1)].reshape(-1, 1, 1)
 
-    metrics = engine.evaluate(
-        fc.params,
-        (batch_to_device(b, floor=floor_for(b)) for b in batcher),
-    )
+    # Device-resident pass (one dispatch, one fetch — same machinery as
+    # train_once's scanned validation); host iterator kept as the fallback.
+    from .data.device_windows import epoch_index_plan
+    from .train import _stage_from_batcher
+
+    staged = _stage_from_batcher(batcher, fc.sigma_vector)
+    if staged is not None:
+        idx, rv = epoch_index_plan(
+            staged.total,
+            int(cfg_used.get("train", {}).get("batch_size", 256)),
+            None,
+            shuffle=False,
+            drop_last=False,
+        )
+        metrics = engine.evaluate_resident(fc.params, staged, idx, rv)
+    else:
+        metrics = engine.evaluate(
+            fc.params,
+            (batch_to_device(b, floor=floor_for(b)) for b in batcher),
+        )
     wsmape = wsmape_from_series_sums(
         metrics["series_sums"], metrics["series_cnts"], fc.ids
     )

@@ -196,6 +196,36 @@ def test_evaluate_resident_matches_host_evaluate():
     )
 
 
+def test_padded_rows_are_zeroed_like_host_pad_batch_rows():
+    """The FFT selector pools amplitudes over the batch, so padded-row
+    CONTENT changes every row's predictions — the resident gather must
+    zero-fill pads exactly like the host pipeline's pad_batch_rows
+    (regression: pads used to carry copies of window 0, shifting eval NLL
+    by ~1e-4 vs the host path)."""
+
+    from flow_timesnet_tpu.data.windows import pad_batch_rows
+
+    batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, np.full(3, 0.2, np.float32))
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=False)
+    last = idx.shape[0] - 1
+    assert rv[last].min() == 0.0  # the final step really is padded
+    dev = gather_batch(staged, jnp.asarray(idx[last]), jnp.asarray(rv[last]))
+
+    batches = list(batcher)  # pad_final=True zero-pads the host tail batch
+    host = batches[last]
+    np.testing.assert_array_equal(np.asarray(dev["x"]), host.x)
+    np.testing.assert_array_equal(np.asarray(dev["y"]), host.y)
+    np.testing.assert_array_equal(np.asarray(dev["mask"]), host.mask)
+    np.testing.assert_array_equal(np.asarray(dev["x_mark"]), host.x_mark)
+    np.testing.assert_array_equal(np.asarray(dev["static"]), host.static)
+    np.testing.assert_array_equal(
+        np.asarray(dev["ids"]).astype(np.int64), host.series_ids.astype(np.int64)
+    )
+    pad_rows = rv[last] == 0.0
+    assert np.abs(np.asarray(dev["x"])[pad_rows]).max() == 0.0
+
+
 def test_augmentations_are_applied_in_program():
     batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
     src = batcher.sources[0]
