@@ -32,6 +32,11 @@ import time
 
 import numpy as np
 
+# Best uncontended reference CPU throughput on record (BENCH_r02.json,
+# measured on this host with no competing load). Used as a floor for the
+# live measurement so host contention cannot inflate vs_baseline.
+_RECORDED_REF_WPS = 55.46
+
 # bf16 peak TFLOP/s per chip by device kind (dense); fallback conservative.
 _PEAK_TFLOPS = {
     "TPU v5 lite": 197.0,
@@ -404,7 +409,14 @@ def main() -> None:
         ref_wps = _reference_windows_per_sec(batch)
         if ref_wps and ref_wps > 0:
             extra["reference_cpu_windows_per_s"] = round(ref_wps, 2)
-            vs_baseline = round(float(windows_per_sec) / ref_wps, 2)
+            # The live CPU measurement is contention-sensitive (STATUS.md
+            # "Environment caveats": 55 -> 30 w/s observed under load), which
+            # can only slow the reference and inflate vs_baseline. Pin the
+            # best uncontended measurement on record and give the reference
+            # the benefit of the doubt: divide by max(live, recorded).
+            ref_best = max(ref_wps, _RECORDED_REF_WPS)
+            extra["reference_cpu_windows_per_s_used"] = round(ref_best, 2)
+            vs_baseline = round(float(windows_per_sec) / ref_best, 2)
     except Exception:
         pass
 
