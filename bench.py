@@ -147,11 +147,12 @@ def _useful_flops(make_cfg, batch, flops_full, L):
 
     import jax
 
-    cap_small = max(2, L // 4)
+    cap_full = L - 1 if make_cfg.period_cap is None else min(L - 1, make_cfg.period_cap)
+    cap_small = max(2, cap_full // 2)
     cfg_small = dataclasses.replace(make_cfg, period_cap=cap_small)
     engine_s, state_s, batch_s = _make_engine_and_batch(cfg_small, batch)
     flops_small = _train_step_flops(engine_s, state_s, batch_s)
-    lp_full = L + (L - 1)
+    lp_full = L + cap_full
     lp_small = L + cap_small
     slope = (flops_full - flops_small) / max(lp_full - lp_small, 1)
     return max(flops_full - slope * (lp_full - L), 0.0)
