@@ -53,6 +53,28 @@ _FULL_STACK_BYTES_LIMIT = int(
 )
 
 
+def _resolve_strategy(stack_bytes: int) -> str:
+    """Pick the fold contraction strategy (same math, different HBM shape).
+
+    ``stack``  — materialize one [K, B, Lp, kh*kw*Cin] tap stack, one matmul.
+    ``rowsum`` — one [K, B, Lp, kw*Cin] stack per kernel row, accumulate.
+    ``tapsum`` — no stack at all: one [Cin, Cout] matmul per tap, accumulated
+                 in fp32. The bottlenecked branch input (~[K, B, Lp, mid]) is
+                 small enough to stay VMEM-resident across taps, so this
+                 trades the stack's HBM write+read for extra small matmuls —
+                 the right trade when the step is bandwidth-bound.
+    ``auto``   — stack below ``FLOW_TIMESNET_TAP_STACK_BYTES``, else rowsum
+                 (the measured round-2/3 default).
+    """
+
+    s = os.environ.get("FLOW_TIMESNET_FOLD_STRATEGY", "auto").lower()
+    if s == "auto":
+        return "stack" if stack_bytes <= _FULL_STACK_BYTES_LIMIT else "rowsum"
+    if s not in ("stack", "rowsum", "tapsum"):
+        raise ValueError(f"Unknown FLOW_TIMESNET_FOLD_STRATEGY: {s!r}")
+    return s
+
+
 class FoldGeometry(NamedTuple):
     """Per-candidate fold geometry over a static padded time axis."""
 
@@ -143,6 +165,20 @@ def _row_taps(
     the transposed taps ``x[t - dc*p - dj]`` with the adjoint masks.
     """
 
+    return jnp.concatenate(
+        [
+            tap
+            for _, tap in _iter_row_taps(
+                padded, periods, cycles, col, row, dc, kw, Lp, m, sign
+            )
+        ],
+        axis=-1,
+    )
+
+
+def _iter_row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, sign):
+    """Yield ``(dj_index, masked tap [K, B, Lp, C])`` for kernel row dc."""
+
     rw = kw // 2
     starts = m + sign * dc * periods  # [K], in [0, 2m]
 
@@ -150,15 +186,13 @@ def _row_taps(
         return lax.dynamic_slice_in_dim(hk, s, Lp + 2 * rw, axis=1)
 
     h_dc = jax.vmap(slice_one)(padded, starts)  # [K, B, Lp + 2rw, C]
-    taps = []
-    for dj in range(-rw, rw + 1):
+    for j, dj in enumerate(range(-rw, rw + 1)):
         tap = lax.slice_in_dim(h_dc, rw + sign * dj, rw + sign * dj + Lp, axis=2)
         if sign > 0:
             mask = _fwd_mask(periods, cycles, col, row, dc, dj)
         else:
             mask = _bwd_mask(periods, cycles, col, Lp, dc, dj)
-        taps.append(tap * mask[:, None, :, None].astype(tap.dtype))
-    return jnp.concatenate(taps, axis=-1)
+        yield j, tap * mask[:, None, :, None].astype(tap.dtype)
 
 
 def _tap_matmul(
@@ -177,10 +211,10 @@ def _tap_matmul(
     """sum_{dc} row_taps(dc) @ w_flat[dc] in float32 accumulation.
 
     ``w_flat``: [kh, kw * Cin, Cout], rows ordered dc = -rh..rh to match the
-    tap stacking order. Strategy is a static size trade-off: one
-    [K, B, Lp, kh*kw*Cin] stack + a single big matmul compiles fastest and
-    fuses best, but its footprint grows kh-fold; above the threshold we
-    accumulate one kernel row at a time (same math, peak memory / kh).
+    tap stacking order. Strategy (see :func:`_resolve_strategy`) is a static
+    HBM-shape trade-off: one [K, B, Lp, kh*kw*Cin] stack + a single big
+    matmul, per-kernel-row stacks (peak memory / kh), or stack-free per-tap
+    matmuls accumulated in fp32 (``tapsum`` — no stack traffic at all).
     """
 
     K, B, _, Cin = x.shape
@@ -190,7 +224,21 @@ def _tap_matmul(
 
     stack_bytes = K * B * Lp * kh * kw * Cin * x.dtype.itemsize
     w_dt = w_flat.astype(x.dtype)
-    if stack_bytes <= _FULL_STACK_BYTES_LIMIT:
+    strategy = _resolve_strategy(stack_bytes)
+    if strategy == "tapsum":
+        w4 = w_dt.reshape(kh, kw, Cin, -1)
+        out = None
+        for i, dc in enumerate(range(-rh, rh + 1)):
+            for j, tap in _iter_row_taps(
+                padded, periods, cycles, col, row, dc, kw, Lp, m, sign
+            ):
+                term = jnp.einsum(
+                    "kbtc,co->kbto", tap, w4[i, j],
+                    preferred_element_type=jnp.float32,
+                )
+                out = term if out is None else out + term
+        return out
+    if strategy == "stack":
         full = jnp.concatenate(
             [
                 _row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, sign)
@@ -233,6 +281,16 @@ def _tap_weight_grad(
     rh, rw = kh // 2, kw // 2
     m = rh * (Lp - L)
     padded = jnp.pad(h, ((0, 0), (0, 0), (m + rw, m + rw), (0, 0)))
+    stack_bytes = K * B * Lp * kh * kw * Cin * h.dtype.itemsize
+    if _resolve_strategy(stack_bytes) == "tapsum":
+        rows = [
+            jnp.einsum("kbtc,kbto->co", tap, ct, preferred_element_type=jnp.float32)
+            for dc in range(-rh, rh + 1)
+            for _, tap in _iter_row_taps(
+                padded, periods, cycles, col, row, dc, kw, Lp, m, 1
+            )
+        ]
+        return jnp.stack(rows).reshape(kh, kw, Cin, Cout)
     rows = []
     for dc in range(-rh, rh + 1):
         taps = _row_taps(padded, periods, cycles, col, row, dc, kw, Lp, m, 1)

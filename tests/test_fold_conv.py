@@ -145,3 +145,49 @@ def test_tap_conv_row_accumulation_grad_matches_fused():
         fold._FULL_STACK_BYTES_LIMIT = old
     for a, b in zip(g_fused, g_rows):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tap_conv_tapsum_strategy_matches_stack():
+    """The stack-free per-tap strategy must reproduce fwd + grads exactly.
+
+    ``FLOW_TIMESNET_FOLD_STRATEGY=tapsum`` replaces the tap-stack matmul with
+    accumulated per-tap [Cin, Cout] matmuls (no stack materialization) — the
+    math is a re-associated contraction, so values must agree to fp32
+    accumulation tolerance.
+    """
+
+    import os
+
+    import jax
+
+    from flow_timesnet_tpu.ops import fold
+
+    rng = np.random.default_rng(11)
+    K, B, L, Cin, Cout = 2, 2, 14, 3, 4
+    periods = jnp.asarray([4, 7], jnp.int32)
+    geom = make_geometry(periods, L, p_cap=L - 1)
+    x = rng.standard_normal((B, L, Cin)).astype(np.float32)
+    kernel = rng.standard_normal((3, 5, Cin, Cout)).astype(np.float32) * 0.3
+    bias = rng.standard_normal(Cout).astype(np.float32)
+    xg = pad_time(jnp.asarray(x), L, geom.Lp)
+    h0 = jnp.broadcast_to(xg[None], (K, B, geom.Lp, Cin))
+
+    def loss(h, w, b):
+        return jnp.sum(jnp.tanh(tap_conv(h, geom, w, b, 3, 5)))
+
+    args = (h0, jnp.asarray(kernel), jnp.asarray(bias))
+    out_stack = tap_conv(h0, geom, args[1], args[2], 3, 5)
+    g_stack = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    os.environ["FLOW_TIMESNET_FOLD_STRATEGY"] = "tapsum"
+    try:
+        out_tap = tap_conv(h0, geom, args[1], args[2], 3, 5)
+        g_tap = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    finally:
+        del os.environ["FLOW_TIMESNET_FOLD_STRATEGY"]
+    np.testing.assert_allclose(
+        np.asarray(out_stack), np.asarray(out_tap), rtol=2e-6, atol=2e-6
+    )
+    for a, b, name in zip(g_stack, g_tap, ("dh", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5, err_msg=name
+        )
