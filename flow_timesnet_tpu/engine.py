@@ -160,18 +160,28 @@ class Engine:
         (train.py:283-317).
         """
 
-        _, aux = self._telemetry_model.apply(
-            {"params": params},
+        # Jitted: the eager flax apply costs seconds of per-op dispatch
+        # through a high-RTT relay; compiled it is one ~ms forward. One
+        # device_get fetches every sown array in a single round-trip.
+        if not hasattr(self, "_telemetry_apply"):
+            def _impl(p, x, x_mark, static, ids, floor):
+                return self._telemetry_model.apply(
+                    {"params": p}, x, x_mark, static, ids,
+                    dispersion_floor=floor, deterministic=True,
+                    mutable=["intermediates"],
+                )
+
+            self._telemetry_apply = jax.jit(_impl)
+        _, aux = self._telemetry_apply(
+            params,
             batch["x"],
             batch.get("x_mark"),
             batch.get("static"),
             batch.get("ids"),
-            dispersion_floor=batch.get("floor"),
-            deterministic=True,
-            mutable=["intermediates"],
+            batch.get("floor"),
         )
         out: Dict[str, Any] = {}
-        inter = aux.get("intermediates", {})
+        inter = jax.device_get(aux.get("intermediates", {}))
         for block_name, values in inter.items():
             if not isinstance(values, dict) or "selected_periods" not in values:
                 continue
