@@ -158,6 +158,25 @@ def host_fetch(tree: Any) -> Any:
     return jax.tree_util.tree_map(fetch, tree)
 
 
+@jax.jit
+def _copy_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda a: a + 0, tree)
+
+
+def device_snapshot(tree: Any) -> Any:
+    """Donation-safe on-device copy of a (possibly sharded) pytree.
+
+    Jitted identity: outputs are fresh buffers (safe against later donation
+    of the source state) with shardings propagated from the inputs, and the
+    copy stays in HBM — no host round-trip. Lets the training loop keep its
+    best-params snapshot on device and ``host_fetch`` it once at the end
+    instead of pulling the full parameter tree through the relay on every
+    improving epoch.
+    """
+
+    return _copy_tree(tree)
+
+
 def _put_global(x: Any, sharding: NamedSharding) -> Any:
     """Place one host array on the mesh, multi-process-safe."""
 

@@ -42,6 +42,7 @@ from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
 from .parallel.mesh import (
+    device_snapshot,
     host_fetch,
     make_mesh,
     replicated,
@@ -849,7 +850,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             best_wsmape = wsmape_from_series_sums(
                 metrics["series_sums"], metrics["series_cnts"], ids
             )
-            best_params = host_fetch(state.params)
+            # On-device snapshot: the full host fetch (10 MB over a ~40 ms
+            # RTT relay) is deferred to the save sites / end of the loop.
+            best_params = device_snapshot(state.params)
             best_epoch = ep
             patience = 0
         else:
@@ -864,7 +867,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             if best_params is not None and best_epoch == ep:
                 artifacts_io.save_checkpoint(
                     model_path,
-                    best_params,
+                    host_fetch(best_params),
                     {"min_sigma_effective": np.float32(min_sigma_scalar)}
                     | (
                         {"min_sigma_vector": sigma_vector.reshape(1, 1, -1)}
@@ -892,6 +895,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     )
     if best_params is None:
         best_params = host_fetch(state.params)
+    else:
+        # no-op for host trees (resume path); one fetch for device snapshots
+        best_params = host_fetch(best_params)
 
     # --------------------------------------------------------------- artifacts
     art_dir = cfg["artifacts"].get("dir", "outputs/artifacts")
