@@ -180,6 +180,36 @@ class Engine:
             batch.get("ids"),
             batch.get("floor"),
         )
+        return self._format_telemetry(aux)
+
+    def collect_period_telemetry_staged(
+        self, params, staged, flat_idx, row_valid
+    ) -> Dict[str, Any]:
+        """Resident-pipeline telemetry: gather + forward fused in ONE dispatch.
+
+        Saves the separate gather round-trip per epoch that
+        ``gather_staged_batch`` + :meth:`collect_period_telemetry` would pay.
+        """
+
+        if not hasattr(self, "_telemetry_staged"):
+            from .data.device_windows import gather_batch
+
+            def _impl(p, s, i, rv):
+                b = gather_batch(s, i, rv, None)
+                return self._telemetry_model.apply(
+                    {"params": p}, b["x"], b.get("x_mark"), b.get("static"),
+                    b.get("ids"), dispersion_floor=b.get("floor"),
+                    deterministic=True, mutable=["intermediates"],
+                )
+
+            self._telemetry_staged = jax.jit(_impl)
+        _, aux = self._telemetry_staged(
+            params, staged, jnp.asarray(flat_idx), jnp.asarray(row_valid)
+        )
+        return self._format_telemetry(aux)
+
+    @staticmethod
+    def _format_telemetry(aux) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
         inter = jax.device_get(aux.get("intermediates", {}))
         for block_name, values in inter.items():
@@ -296,6 +326,13 @@ class Engine:
         """
 
         from .data.device_windows import gather_batch
+
+        if rngs.ndim == 1:
+            # a single epoch key: derive the per-step keys inside the program
+            # (same fold_in values the host-side vmap produced)
+            rngs = jax.vmap(lambda i: jax.random.fold_in(rngs, i))(
+                jnp.arange(idx.shape[0])
+            )
 
         def body(carry, xs):
             rng, flat, rv = xs

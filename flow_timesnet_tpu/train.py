@@ -752,15 +752,12 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             )
             if idx_np.shape[0] == 0:
                 raise ValueError("Training split has no windows")
-            ep_key = jax.random.fold_in(dropout_key, ep)
-            keys = jax.vmap(lambda i: jax.random.fold_in(ep_key, i))(
-                jax.numpy.arange(idx_np.shape[0])
-            )
+            # single epoch key; per-step keys derive inside the epoch program
+            keys = jax.random.fold_in(dropout_key, ep)
             if mesh is not None:
                 keys = jax.device_put(keys, replicated(mesh))
-            telemetry = engine.collect_period_telemetry(
-                state.params,
-                engine.gather_staged_batch(staged_train, idx_np[0], rv_np[0]),
+            telemetry = engine.collect_period_telemetry_staged(
+                state.params, staged_train, idx_np[0], rv_np[0]
             )
             _log_period_telemetry(telemetry, inferred_freq, ep)
             state, ep_losses, ep_mask_true = engine.train_epoch_resident(
