@@ -248,3 +248,61 @@ def test_augmentations_are_applied_in_program():
     assert not np.allclose(np.asarray(a["x"]), np.asarray(clean["x"]))
     with pytest.raises(ValueError):
         gather_batch(staged, idx, rv, None)
+
+
+def test_resident_epoch_single_key_matches_host_derived_keys():
+    """Passing one epoch key must reproduce the host-side vmap key derivation."""
+
+    batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, np.full(3, 0.15, np.float32))
+    engine = _tiny_engine(3, 8, 4, with_marks=True)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state_a = engine.init_state(jax.random.PRNGKey(0), init_batch)
+    state_b = engine.init_state(jax.random.PRNGKey(0), init_batch)
+
+    ep_key = jax.random.PRNGKey(7)
+    keys = jax.vmap(lambda i: jax.random.fold_in(ep_key, i))(jnp.arange(idx.shape[0]))
+    state_a, losses_a, _ = engine.train_epoch_resident(
+        state_a, 1e-3, keys, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+    state_b, losses_b, _ = engine.train_epoch_resident(
+        state_b, 1e-3, ep_key, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+    np.testing.assert_allclose(np.asarray(losses_a), np.asarray(losses_b), rtol=1e-6)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_device_snapshot_survives_donated_epochs():
+    """The best-params HBM snapshot must outlive later donated train steps."""
+
+    from flow_timesnet_tpu.parallel.mesh import device_snapshot, host_fetch
+
+    batcher = _make_batcher(n_folds=1, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, np.full(3, 0.15, np.float32))
+    engine = _tiny_engine(3, 8, 4, with_marks=True)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state = engine.init_state(jax.random.PRNGKey(0), init_batch)
+
+    state, _, _ = engine.train_epoch_resident(
+        state, 1e-3, jax.random.PRNGKey(1), staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+    expected = jax.device_get(state.params)  # eager host copy before donation
+    snap = device_snapshot(state.params)
+    # two more epochs donate `state` (and would reuse its buffers)
+    for ep in (2, 3):
+        state, _, _ = engine.train_epoch_resident(
+            state, 1e-3, jax.random.PRNGKey(ep), staged, jnp.asarray(idx), jnp.asarray(rv)
+        )
+    fetched = host_fetch(snap)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(expected), jax.tree_util.tree_leaves(fetched)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
