@@ -45,6 +45,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/demand_benchmark.yaml")
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra dotted config overrides (e.g. train.device=cpu)")
     args = ap.parse_args()
 
     from flow_timesnet_tpu import train as train_mod
@@ -53,9 +55,11 @@ def main() -> None:
 
     _timed(Engine, "train_epoch_resident", "epoch_scan")
     _timed(Engine, "collect_period_telemetry", "telemetry")
+    _timed(Engine, "collect_period_telemetry_staged", "telemetry")
     _timed(Engine, "evaluate_resident", "eval")
     _timed(Engine, "gather_staged_batch", "telemetry_gather")
     _timed(train_mod, "host_fetch", "host_fetch")
+    _timed(train_mod, "device_snapshot", "best_snapshot")
     _timed(train_mod.artifacts_io, "save_checkpoint", "save_checkpoint")
     _timed(train_mod.artifacts_io, "save_train_state", "save_train_state")
 
@@ -66,6 +70,7 @@ def main() -> None:
             "train.early_stopping_patience=999",
             "artifacts.dir=outputs/epoch_breakdown/artifacts",
             "submission.out_path=outputs/epoch_breakdown/submission.csv",
+            *args.override,
         ],
     )
 
