@@ -302,8 +302,49 @@ def _nb_nll_delta_vs_torch() -> float:
     return abs(ours_val - ref_val), abs(ours_val - ref_val) / max(abs(ref_val), 1e-12)
 
 
+def _wait_for_backend(max_wait_s=1800, probe_timeout_s=180) -> bool:
+    """Wait (bounded) for the TPU relay to accept a client.
+
+    The axon relay goes through transient outages during which
+    ``make_c_api_client`` blocks indefinitely inside a C call — unkillable
+    from Python once entered. Probing in a SUBPROCESS with a timeout keeps
+    the bench process itself safe; we only initialise our own backend after
+    a probe has succeeded. Returns False when the deadline passes (bench
+    then proceeds and takes its chances — no worse than before).
+    """
+
+    import os
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                f"bench: backend probe failed {attempt} times over "
+                f"{max_wait_s}s; proceeding anyway", file=sys.stderr,
+            )
+            return False
+        time.sleep(30)
+
+
 def main() -> None:
     import os
+
+    if not os.environ.get("JAX_PLATFORMS"):
+        _wait_for_backend()
 
     import jax
 
