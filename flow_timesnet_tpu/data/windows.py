@@ -283,6 +283,56 @@ class WindowBatcher:
             yield batch
 
 
+class Prefetcher:
+    """Background-thread batch prefetch over any batch iterable.
+
+    The TPU-native stand-in for the reference DataLoader's worker/prefetch
+    stack (``num_workers``/``prefetch_factor``/``pin_memory``,
+    /root/reference/src/timesnet_forecast/train.py:218-227): one daemon
+    thread assembles the next ``depth`` host batches (numpy gather + concat)
+    while the device runs the current step. Used by the host input pipeline
+    — the fallback when the device-resident path is unavailable (gradient
+    accumulation, or staged arrays above ``train.device_stage_mb``); the
+    resident path needs no host prefetch at all.
+
+    Exceptions raised inside the producer re-raise at the consuming site.
+    """
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 2) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, int(depth)))
+        self._err: Optional[BaseException] = None
+
+        def _run() -> None:
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+                self._err = e
+            finally:
+                self._q.put(self._END)
+
+        self._thread = threading.Thread(
+            target=_run, name="flow-timesnet-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def __iter__(self) -> "Prefetcher":
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 def _concat_batches(pieces: List[WindowBatch]) -> WindowBatch:
     if len(pieces) == 1:
         return pieces[0]

@@ -37,7 +37,7 @@ from .data.schema import DataSchema, extract_schema_overrides
 from .data.device_windows import epoch_index_plan, stage_windows
 from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
-from .data.windows import build_batcher, pad_batch_rows
+from .data.windows import Prefetcher, build_batcher, pad_batch_rows
 from .engine import Engine, batch_to_device
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
@@ -797,7 +797,14 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             chunk_keys.clear()
             return state
 
-        for i, batch in enumerate(() if use_resident else dl_train):
+        if use_resident:
+            host_iter = ()
+        else:
+            # overlap next-batch host assembly with the device step
+            # (train.prefetch_factor, the reference DataLoader's knob; 0=off)
+            depth = int(cfg["train"].get("prefetch_factor", 2) or 0)
+            host_iter = Prefetcher(dl_train, depth) if depth > 0 else dl_train
+        for i, batch in enumerate(host_iter):
             rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
             dev_batch = to_device(batch)
             if i == 0:

@@ -215,3 +215,37 @@ def test_cli_override_repeatable_and_multivalued():
     )
     flat = [o for group in args.override for o in group]
     assert flat == ["a.b=1", "c.d=2", "e.f=3"]
+
+
+def test_host_pipeline_uses_prefetcher_and_trains(short_history_setup, monkeypatch):
+    """input_pipeline=host must route batches through the Prefetcher thread."""
+
+    from flow_timesnet_tpu import train as train_mod
+    from flow_timesnet_tpu.data.windows import Prefetcher
+
+    created = []
+
+    class SpyPrefetcher(Prefetcher):
+        def __init__(self, iterable, depth=2):
+            created.append(depth)
+            super().__init__(iterable, depth)
+
+    monkeypatch.setattr(train_mod, "Prefetcher", SpyPrefetcher)
+    tmp_path, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp_path, train_csv, test_dir, "repeat")
+    cfg["train"]["input_pipeline"] = "host"
+    cfg["train"]["epochs"] = 2
+    pcfg = PipelineConfig.from_mapping(cfg)
+    best_nll, _ = train_once(pcfg)
+    assert np.isfinite(best_nll)
+    assert created == [2, 2]  # one prefetcher per epoch, default depth 2
+
+    # prefetch_factor=0 disables the thread entirely
+    created.clear()
+    cfg["train"]["prefetch_factor"] = 0
+    cfg["artifacts"]["dir"] = str(tmp_path / "artifacts_nopf")
+    best_nll2, _ = train_once(PipelineConfig.from_mapping(cfg))
+    assert np.isfinite(best_nll2)
+    assert created == []
+    # same data, same seeds: the thread must not change the trajectory
+    assert abs(best_nll - best_nll2) < 1e-9

@@ -138,3 +138,38 @@ def test_multi_fold_concat_and_global_order():
     vals = batches[0].x[:, 0, 0]
     assert np.all(vals[:n1] == 0.0)
     assert np.all(vals[n1:] == 1.0)
+
+
+def test_prefetcher_matches_direct_iteration_and_propagates_errors():
+    """Prefetcher must yield the exact same epoch stream as direct iteration."""
+
+    import numpy as np
+
+    from flow_timesnet_tpu.data.windows import Prefetcher, build_batcher
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(5.0, 2.0, size=(40, 3)).astype(np.float32)
+    M = (rng.random((40, 3)) > 0.1).astype(np.float32)
+    batcher = build_batcher(
+        [X], [M], 8, 4, 1, "direct", batch_size=16, shuffle=True,
+        drop_last=False, pad_final=True,
+    )
+    batcher.set_epoch(3)
+    direct = [b.x.copy() for b in batcher]
+    batcher.set_epoch(3)
+    fetched = [b.x.copy() for b in Prefetcher(batcher, depth=2)]
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a, b)
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = Prefetcher(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        for _ in it:
+            pass
