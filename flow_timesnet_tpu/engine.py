@@ -487,29 +487,34 @@ class Engine:
         return self._eval_step(params, batch)
 
     def evaluate(self, params, batches) -> Dict[str, float]:
-        """Stream eval metrics over an iterable of device-ready batches."""
+        """Stream eval metrics over an iterable of device-ready batches.
 
-        nll_num = 0.0
-        nll_den = 0.0
-        s_sum = 0.0
-        s_cnt = 0.0
-        ws_sums = np.zeros(self.num_series, np.float32)
-        ws_cnts = np.zeros(self.num_series, np.float32)
+        Accumulators stay on device across the pass (async adds, no per-batch
+        host sync); ONE fetch at the end — the host-path counterpart of
+        :meth:`evaluate_resident` (VERDICT r2 #7).
+        """
+
+        totals = None
         for batch in batches:
             out = self.eval_step(params, batch)
-            nll_num += float(out[0])
-            nll_den += float(out[1])
-            s_sum += float(out[2])
-            s_cnt += float(out[3])
-            ws_sums += np.asarray(out[4])
-            ws_cnts += np.asarray(out[5])
-        smape = s_sum / s_cnt if s_cnt > 0 else 0.0
-        nll = nll_num / nll_den if nll_den > 0 else 0.0
+            totals = (
+                out
+                if totals is None
+                else jax.tree_util.tree_map(lambda a, b: a + b, totals, out)
+            )
+        if totals is None:
+            return {
+                "nll": 0.0,
+                "smape": 0.0,
+                "series_sums": np.zeros(self.num_series, np.float32),
+                "series_cnts": np.zeros(self.num_series, np.float32),
+            }
+        nll_num, nll_den, s_sum, s_cnt, ws_sums, ws_cnts = jax.device_get(totals)
         return {
-            "nll": nll,
-            "smape": smape,
-            "series_sums": ws_sums,
-            "series_cnts": ws_cnts,
+            "nll": float(nll_num) / float(nll_den) if nll_den > 0 else 0.0,
+            "smape": float(s_sum) / float(s_cnt) if s_cnt > 0 else 0.0,
+            "series_sums": np.asarray(ws_sums, np.float32),
+            "series_cnts": np.asarray(ws_cnts, np.float32),
         }
 
 
