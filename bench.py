@@ -318,9 +318,11 @@ def _wait_for_backend(max_wait_s=1800, probe_timeout_s=180) -> bool:
 
     deadline = time.time() + max_wait_s
     attempt = 0
+    fast_failures = 0
     while True:
         attempt += 1
         try:
+            t0 = time.time()
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=probe_timeout_s,
@@ -329,6 +331,16 @@ def _wait_for_backend(max_wait_s=1800, probe_timeout_s=180) -> bool:
             )
             if r.returncode == 0:
                 return True
+            if time.time() - t0 < 15:
+                # deterministic failure (broken env, ImportError) — waiting
+                # will not heal it; bail after a couple of confirmations
+                fast_failures += 1
+                if fast_failures >= 2:
+                    print(
+                        "bench: backend probe failed fast (not a relay "
+                        "timeout); proceeding", file=sys.stderr,
+                    )
+                    return False
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
@@ -387,7 +399,7 @@ def main() -> None:
         "ms_per_step": round(step_s * 1e3, 3),
     }
     peak = _PEAK_TFLOPS.get(device_kind, 100.0) * 1e12
-    _shape_mfu(extra, engine, state, dev_batch, cfg, batch, step_s, peak)
+    chosen_step_s = step_s  # MFU computed from whichever program is primary
 
     # ---- device-resident epoch (gather inside the program, VERDICT r2 #1):
     # the honest real-pipeline rate — window gather + train step fused in one
@@ -403,8 +415,10 @@ def main() -> None:
             windows_per_sec = res["windows_per_s"]
             extra["ms_per_step"] = res["ms_per_step"]
             extra["primary_source"] = "resident_epoch"
+            chosen_step_s = res["ms_per_step"] / 1e3
     except Exception as e:  # noqa: BLE001
         extra["resident_epoch_error"] = str(e)[:200]
+    _shape_mfu(extra, engine, state, dev_batch, cfg, batch, chosen_step_s, peak)
 
     # ---- predict p50 latency (direct + recursive from the same checkpoint)
     try:

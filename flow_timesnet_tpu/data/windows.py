@@ -304,17 +304,30 @@ class Prefetcher:
         import queue
         import threading
 
+        self._queue_mod = queue
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, int(depth)))
         self._err: Optional[BaseException] = None
+        self._stopped = False
 
         def _run() -> None:
             try:
                 for item in iterable:
+                    if self._stopped:
+                        break
                     self._q.put(item)
+                    if self._stopped:
+                        break
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
                 self._err = e
             finally:
-                self._q.put(self._END)
+                while True:
+                    if self._stopped:
+                        break  # close() owns shutdown; consumer is gone
+                    try:
+                        self._q.put(self._END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(
             target=_run, name="flow-timesnet-prefetch", daemon=True
@@ -331,6 +344,27 @@ class Prefetcher:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self) -> None:
+        """Release the producer if the consumer abandons iteration early.
+
+        Sets the stop flag and drains the queue so a blocked ``put`` wakes
+        up, sees the flag, and exits — otherwise an abandoned epoch (step
+        exception, early interrupt) would leave the daemon thread pinned on
+        ``q.put`` holding ``depth`` batches for the process lifetime.
+        """
+
+        self._stopped = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+        try:  # a late next() should see StopIteration, not block
+            self._q.put_nowait(self._END)
+        except self._queue_mod.Full:
+            pass
 
 
 def _concat_batches(pieces: List[WindowBatch]) -> WindowBatch:

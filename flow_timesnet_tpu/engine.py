@@ -31,6 +31,20 @@ class TrainState(struct.PyTreeNode):
     grad_accum: Any  # zeros-like params when accumulating, else None
 
 
+def _strip_augment(staged):
+    """Augmentation-free view of staged windows (shares the device arrays).
+
+    One-off probes (init batch, period telemetry) gather without a PRNG key;
+    on configs with ``data.augment`` the raw staged struct would raise
+    "augmentation requires a PRNG key". The augment knobs are static
+    (non-pytree) fields, so the replace costs one extra trace, zero copies.
+    """
+
+    if getattr(staged, "noise_std", 0.0) or getattr(staged, "time_shift", 0):
+        return dataclasses.replace(staged, noise_std=0.0, time_shift=0)
+    return staged
+
+
 def _base_mask(y, mask, row_valid, use_loss_masking: bool):
     base = (mask > 0.0) if use_loss_masking else jnp.ones_like(y, dtype=bool)
     if row_valid is not None:
@@ -204,7 +218,8 @@ class Engine:
 
             self._telemetry_staged = jax.jit(_impl)
         _, aux = self._telemetry_staged(
-            params, staged, jnp.asarray(flat_idx), jnp.asarray(row_valid)
+            params, _strip_augment(staged), jnp.asarray(flat_idx),
+            jnp.asarray(row_valid),
         )
         return self._format_telemetry(aux)
 
@@ -370,7 +385,11 @@ class Engine:
         return self._train_epoch_resident(state, lr, rngs, staged, idx, row_valid)
 
     def gather_staged_batch(self, staged, flat_idx, row_valid, rng=None):
-        """One-off device gather (init batch, period telemetry)."""
+        """One-off device gather (init batch, period telemetry).
+
+        Always gathers the CLEAN windows: augmentation (which needs a PRNG
+        key) belongs to the training scan, not to one-off probes.
+        """
 
         if not hasattr(self, "_gather_one"):
             from .data.device_windows import gather_batch
@@ -380,7 +399,9 @@ class Engine:
                     s, i, rv, None, with_y_mark=(self.cfg.mode != "direct")
                 )
             )
-        return self._gather_one(staged, jnp.asarray(flat_idx), jnp.asarray(row_valid))
+        return self._gather_one(
+            _strip_augment(staged), jnp.asarray(flat_idx), jnp.asarray(row_valid)
+        )
 
     def _evaluate_resident_impl(self, params, staged, idx, row_valid):
         """Whole validation pass as one scan; accumulators stay on device.
@@ -491,7 +512,9 @@ class Engine:
 
         Accumulators stay on device across the pass (async adds, no per-batch
         host sync); ONE fetch at the end — the host-path counterpart of
-        :meth:`evaluate_resident` (VERDICT r2 #7).
+        :meth:`evaluate_resident` (VERDICT r2 #7). Accumulation is float32 on
+        device (same as the resident pass), replacing the old float64 host
+        accumulation; deltas are ~1e-7 relative at realistic batch counts.
         """
 
         totals = None

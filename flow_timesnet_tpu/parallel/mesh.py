@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -158,9 +159,17 @@ def host_fetch(tree: Any) -> Any:
     return jax.tree_util.tree_map(fetch, tree)
 
 
+def _copy_leaf(a):
+    # dtype-preserving forced computation: `a + 0` would weak-type-promote
+    # bool -> int32 leaves; xor keeps bool, a typed zero keeps the rest.
+    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.bool_):
+        return jnp.logical_xor(a, False)
+    return a + jnp.zeros((), jnp.asarray(a).dtype)
+
+
 @jax.jit
 def _copy_tree(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda a: a + 0, tree)
+    return jax.tree_util.tree_map(_copy_leaf, tree)
 
 
 def device_snapshot(tree: Any) -> Any:

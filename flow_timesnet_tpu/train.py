@@ -804,24 +804,28 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             # (train.prefetch_factor, the reference DataLoader's knob; 0=off)
             depth = int(cfg["train"].get("prefetch_factor", 2) or 0)
             host_iter = Prefetcher(dl_train, depth) if depth > 0 else dl_train
-        for i, batch in enumerate(host_iter):
-            rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
-            dev_batch = to_device(batch)
-            if i == 0:
-                telemetry = engine.collect_period_telemetry(state.params, dev_batch)
-                _log_period_telemetry(telemetry, inferred_freq, ep)
-            if scan_steps > 1:
-                chunk.append(dev_batch)
-                chunk_keys.append(rng)
-                if len(chunk) == scan_steps:
-                    state = flush_chunk(state)
-                continue
-            do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
-            state, loss, stats = engine.train_step(state, lr, rng, dev_batch, do_update)
-            losses.append(float(loss))
-            mask_true_total += float(stats["mask_true"])
-            mask_total += float(stats["mask_total"])
-            n_batches += 1
+        try:
+            for i, batch in enumerate(host_iter):
+                rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
+                dev_batch = to_device(batch)
+                if i == 0:
+                    telemetry = engine.collect_period_telemetry(state.params, dev_batch)
+                    _log_period_telemetry(telemetry, inferred_freq, ep)
+                if scan_steps > 1:
+                    chunk.append(dev_batch)
+                    chunk_keys.append(rng)
+                    if len(chunk) == scan_steps:
+                        state = flush_chunk(state)
+                    continue
+                do_update = ((i + 1) % accum_steps == 0) or ((i + 1) == batches_per_epoch)
+                state, loss, stats = engine.train_step(state, lr, rng, dev_batch, do_update)
+                losses.append(float(loss))
+                mask_true_total += float(stats["mask_true"])
+                mask_total += float(stats["mask_total"])
+                n_batches += 1
+        finally:
+            if isinstance(host_iter, Prefetcher):
+                host_iter.close()
         if scan_steps > 1 and not use_resident:
             state = flush_chunk(state)
         epoch_time = time.perf_counter() - t0
