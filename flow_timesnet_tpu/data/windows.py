@@ -361,6 +361,11 @@ class Prefetcher:
         except self._queue_mod.Empty:
             pass
         self._thread.join(timeout=5.0)
+        try:  # the released producer may have deposited one final item
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
         try:  # a late next() should see StopIteration, not block
             self._q.put_nowait(self._END)
         except self._queue_mod.Full:

@@ -173,3 +173,23 @@ def test_prefetcher_matches_direct_iteration_and_propagates_errors():
     with _pytest.raises(RuntimeError, match="producer failed"):
         for _ in it:
             pass
+
+
+def test_prefetcher_close_releases_blocked_producer():
+    """close() must unblock a producer stuck on a full queue and join it."""
+
+    import itertools
+    import time as _time
+
+    from flow_timesnet_tpu.data.windows import Prefetcher
+
+    it = Prefetcher(itertools.count(), depth=1)  # endless producer
+    assert next(it) == 0
+    _time.sleep(0.05)  # let the producer fill the queue and block on put
+    it.close()
+    assert not it._thread.is_alive()
+    # a late next() must terminate, not hang
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        next(it)
