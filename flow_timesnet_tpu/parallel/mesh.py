@@ -186,16 +186,24 @@ def device_snapshot(tree: Any) -> Any:
     return _copy_tree(tree)
 
 
-def _put_global(x: Any, sharding: NamedSharding) -> Any:
-    """Place one host array on the mesh, multi-process-safe."""
+def put_global(x: Any, sharding: NamedSharding) -> Any:
+    """Place one host array on the mesh under ``sharding``, multi-process-safe.
+
+    Single-process: plain ``device_put``. Multi-process: a raw ``device_put``
+    against a cross-process NamedSharding is invalid, so build the global
+    array from per-shard callbacks — every process holds the full host array
+    (the data/plan pipelines are deterministic per process), so any
+    PartitionSpec (replicated, row-sharded batches, dim-1-sharded epoch
+    plans) works without per-spec slicing math.
+    """
 
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     arr = np.asarray(jax.device_get(x))
-    from jax.sharding import PartitionSpec as _P
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
-    local = arr if sharding.spec == _P() else _local_rows(arr, sharding)
-    return jax.make_array_from_process_local_data(sharding, local, arr.shape)
+
+_put_global = put_global  # internal alias (pre-rename call sites)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -45,6 +45,7 @@ from .parallel.mesh import (
     device_snapshot,
     host_fetch,
     make_mesh,
+    put_global,
     replicated,
     shard_batch,
     shard_train_state,
@@ -682,7 +683,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         fits = _staged_nbytes(dl_train) + _staged_nbytes(dl_val) <= stage_budget
         if pipeline_req == "device" or fits:
             put = (
-                (lambda a: jax.device_put(a, replicated(mesh)))
+                (lambda a: put_global(a, replicated(mesh)))
                 if mesh is not None
                 else jax.device_put
             )
@@ -700,7 +701,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             )
 
         def put_plan(a):
-            return jax.device_put(a, plan_spec) if plan_spec is not None else jax.device_put(a)
+            # put_global: a raw device_put against a cross-process sharding
+            # is invalid on multi-process runtimes (VERDICT r2 #5)
+            return put_global(a, plan_spec) if plan_spec is not None else jax.device_put(a)
 
         # the eval plan is deterministic — build and stage it once
         val_idx_np, val_rv_np = epoch_index_plan(
@@ -755,7 +758,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             # single epoch key; per-step keys derive inside the epoch program
             keys = jax.random.fold_in(dropout_key, ep)
             if mesh is not None:
-                keys = jax.device_put(keys, replicated(mesh))
+                keys = put_global(keys, replicated(mesh))
             telemetry = engine.collect_period_telemetry_staged(
                 state.params, staged_train, idx_np[0], rv_np[0]
             )

@@ -49,25 +49,46 @@ def test_two_process_dp_matches_single_process():
 
     results = {}
     for out in outs:
-        m = re.search(r"RESULT pid=(\d) losses=([\d.,\-]+) digest=([\d.\-]+)", out)
+        m = re.search(
+            r"RESULT pid=(\d) losses=([\d.,\-]+) digest=([\d.\-]+) "
+            r"eplosses=([\d.,\-]+) nll=([\d.\-]+) digest2=([\d.\-]+)",
+            out,
+        )
         assert m, f"no RESULT line in:\n{out[-2000:]}"
         results[int(m.group(1))] = (
             [float(v) for v in m.group(2).split(",")],
             float(m.group(3)),
+            [float(v) for v in m.group(4).split(",")],
+            float(m.group(5)),
+            float(m.group(6)),
         )
     assert set(results) == {0, 1}
 
-    # both processes see identical losses and assemble identical params
+    # both processes see identical losses and assemble identical params —
+    # for the per-step path AND the device-resident epoch/eval/snapshot path
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
     assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-6)
+    assert results[0][3] == pytest.approx(results[1][3], rel=1e-6)
+    assert results[0][4] == pytest.approx(results[1][4], rel=1e-6)
 
-    # single-process reference trajectory (same batch, no mesh)
-    from two_process_worker import make_batch_and_cfg, run_steps
+    # single-process reference trajectory (same batches/plan, no mesh)
+    from two_process_worker import (
+        make_batch_and_cfg,
+        make_staged_and_plan,
+        run_resident_epoch,
+        run_steps,
+    )
 
     from flow_timesnet_tpu.engine import Engine
 
     cfg, batch = make_batch_and_cfg()
     engine = Engine(cfg, use_loss_masking=True, grad_clip_norm=1.0, num_series=8)
     state = engine.init_state(jax.random.PRNGKey(0), batch)
-    _, ref_losses = run_steps(engine, state, batch)
+    state, ref_losses = run_steps(engine, state, batch)
     np.testing.assert_allclose(results[0][0], ref_losses, rtol=1e-4, atol=1e-5)
+
+    staged, idx, rv = make_staged_and_plan(batch_size=8)
+    _, ref_ep_losses, ref_nll = run_resident_epoch(engine, state, staged, idx, rv)
+    np.testing.assert_allclose(results[0][2], ref_ep_losses, rtol=1e-4, atol=1e-5)
+    assert results[0][3] == pytest.approx(ref_nll, rel=1e-4)

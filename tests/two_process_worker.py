@@ -59,6 +59,43 @@ def run_steps(engine, state, batch, n=3):
     return state, losses
 
 
+def make_staged_and_plan(batch_size=8, padded_batch=None):
+    """Deterministic staged windows + epoch plan shared by workers/parent."""
+
+    from flow_timesnet_tpu.data.device_windows import (
+        epoch_index_plan,
+        stage_windows,
+    )
+
+    rng = np.random.default_rng(3)
+    T, N = 48, 8
+    X = (3.0 + rng.standard_normal((T, N))).astype(np.float32)
+    M = np.ones((T, N), np.float32)
+    staged = stage_windows(
+        [X], [M], 16, 4, 1, "direct",
+        static=rng.standard_normal((N, 3)).astype(np.float32),
+        sigma_vector=np.full(N, 0.1, np.float32),
+    )
+    idx, rv = epoch_index_plan(
+        staged.total, batch_size, padded_batch, shuffle=False, drop_last=True
+    )
+    return staged, idx, rv
+
+
+def run_resident_epoch(engine, state, staged, idx, rv, put=None):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(9)
+    idx_d = put(idx) if put else jnp.asarray(idx)
+    rv_d = put(rv) if put else jnp.asarray(rv)
+    state, losses, _ = engine.train_epoch_resident(
+        state, 1e-3, key, staged, idx_d, rv_d
+    )
+    metrics = engine.evaluate_resident(state.params, staged, idx_d, rv_d)
+    return state, [float(v) for v in np.asarray(losses)], float(metrics["nll"])
+
+
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
@@ -69,10 +106,15 @@ def main() -> None:
     jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
     assert jax.process_count() == 2, "distributed runtime did not come up"
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
     from flow_timesnet_tpu.engine import Engine
     from flow_timesnet_tpu.parallel.mesh import (
+        device_snapshot,
         host_fetch,
         make_mesh,
+        put_global,
+        replicate,
         shard_batch,
         shard_train_state,
         table_sharding,
@@ -96,8 +138,25 @@ def main() -> None:
     digest = float(
         sum(np.abs(np.asarray(x)).sum() for x in jax.tree_util.tree_leaves(fetched))
     )
+
+    # --- device-resident epoch over the same 2-process mesh (train_once's
+    # actual pipeline): staged arrays replicated via put_global, the epoch
+    # plan sharded along its batch dim, params/embedding sharded as above.
+    staged, idx, rv = make_staged_and_plan(batch_size=8)
+    staged = replicate(mesh, staged)
+    plan_spec = NamedSharding(mesh, PartitionSpec(None, tuple(mesh.axis_names)))
+    state, ep_losses, nll = run_resident_epoch(
+        engine, state, staged, idx, rv, put=lambda a: put_global(a, plan_spec)
+    )
+    snap = host_fetch(device_snapshot(state.params))  # sharded-tree snapshot
+    digest2 = float(
+        sum(np.abs(np.asarray(x)).sum() for x in jax.tree_util.tree_leaves(snap))
+    )
+
     print(f"RESULT pid={pid} losses={','.join(f'{v:.8f}' for v in losses)} "
-          f"digest={digest:.6f}", flush=True)
+          f"digest={digest:.6f} "
+          f"eplosses={','.join(f'{v:.8f}' for v in ep_losses)} "
+          f"nll={nll:.8f} digest2={digest2:.6f}", flush=True)
 
 
 if __name__ == "__main__":
