@@ -302,7 +302,7 @@ def _nb_nll_delta_vs_torch() -> float:
     return abs(ours_val - ref_val), abs(ours_val - ref_val) / max(abs(ref_val), 1e-12)
 
 
-def _wait_for_backend(max_wait_s=1800, probe_timeout_s=180) -> bool:
+def _wait_for_backend(max_wait_s=3600, probe_timeout_s=180) -> bool:
     """Wait (bounded) for the TPU relay to accept a client.
 
     The axon relay goes through transient outages during which
