@@ -217,6 +217,31 @@ def _pin_platform(device_req: Optional[str]) -> None:
             pass
 
 
+def _log_device_memory(tag: str) -> None:
+    """Print per-device HBM usage (reference ``model.debug_memory`` analogue).
+
+    The reference prints ``torch.cuda.memory_allocated`` when
+    ``model.debug_memory`` is set (``models/timesnet.py:2016-2020``); the TPU
+    runtime exposes the same information via ``Device.memory_stats()``. CPU
+    backends return ``None`` — silently skipped so the knob is safe anywhere.
+    """
+
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats()
+        except Exception:  # noqa: BLE001 - backend without memory introspection
+            stats = None
+        if not stats:
+            continue
+        in_use = stats.get("bytes_in_use", 0) / 1e6
+        peak = stats.get("peak_bytes_in_use", 0) / 1e6
+        limit = stats.get("bytes_limit", 0) / 1e6
+        console().print(
+            f"[cyan]mem[{tag}] {dev.platform}:{dev.id} "
+            f"in_use={in_use:.1f}MB peak={peak:.1f}MB limit={limit:.0f}MB[/cyan]"
+        )
+
+
 def _stage_from_batcher(batcher, sigma_vector, *, device_put=jax.device_put):
     """Stage a :class:`WindowBatcher`'s sources on device.
 
@@ -274,6 +299,13 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     train_section.setdefault("val", {})
 
     _pin_platform(cfg["train"].get("device"))
+    # Sanitizer analogue (SURVEY §5.2): when ``train.debug_nans`` is set, XLA
+    # re-runs any program that produced a NaN in de-optimized mode and raises
+    # at the exact primitive — the jit-era replacement for the reference's
+    # eager finiteness asserts (timesnet.py:2094-2101).
+    if bool(cfg["train"].get("debug_nans", False)):
+        jax.config.update("jax_debug_nans", True)
+    debug_memory = bool(cfg["model"].get("debug_memory", False))
     deterministic = bool(cfg["train"].get("deterministic", False))
     seed = int(cfg.get("tuning", {}).get("seed", 2025))
     root_key = seed_everything(seed, deterministic=deterministic)
@@ -727,6 +759,9 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     profile_dir = cfg["train"].get("profile_dir")
     profiling = False
 
+    if debug_memory:
+        _log_device_memory("post-init")
+
     for ep in range(start_epoch, epochs + 1):
         if profile_dir and ep == start_epoch + 1 and not profiling:
             jax.profiler.start_trace(str(profile_dir))
@@ -850,6 +885,8 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             f"val_smape={val_smape:.6f} lr={lr:.3e} mask_cov={coverage:.4f} "
             f"windows/s={throughput:.1f}"
         )
+        if debug_memory and ep == start_epoch:
+            _log_device_memory(f"epoch {ep}")
         if profiling:
             jax.profiler.stop_trace()
             profiling = False

@@ -249,3 +249,26 @@ def test_host_pipeline_uses_prefetcher_and_trains(short_history_setup, monkeypat
     assert created == []
     # same data, same seeds: the thread must not change the trajectory
     assert abs(best_nll - best_nll2) < 1e-9
+
+
+def test_debug_knobs_train_end_to_end(short_history_setup, capsys):
+    """``train.debug_nans`` + ``model.debug_memory`` (SURVEY §5.1-5.2).
+
+    The sanitizer flag must be enabled for the run and the memory report must
+    not break on backends without memory introspection (CPU returns None).
+    """
+
+    tmp_path, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp_path, train_csv, test_dir, "repeat")
+    cfg["train"]["debug_nans"] = True
+    cfg["model"]["debug_memory"] = True
+    cfg["artifacts"]["dir"] = str(tmp_path / "artifacts_debug")
+    try:
+        best_nll, _ = train_once(PipelineConfig.from_mapping(cfg))
+        assert np.isfinite(best_nll)
+        assert jax.config.jax_debug_nans
+        # under the flag a NaN-producing jitted program raises at the source
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))(jnp.float32(-1.0))
+    finally:
+        jax.config.update("jax_debug_nans", False)
