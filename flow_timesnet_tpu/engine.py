@@ -29,6 +29,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     grad_accum: Any  # zeros-like params when accumulating, else None
+    ema: Any = None  # Polyak-averaged params when train.ema_decay > 0, else None
 
 
 def _strip_augment(staged):
@@ -64,6 +65,7 @@ class Engine:
         grad_clip_norm: float = 0.0,
         weight_decay: float = 0.0,
         num_series: int = 1,
+        ema_decay: float = 0.0,
     ) -> None:
         self.cfg = cfg
         self.model = TimesNet(cfg)
@@ -77,6 +79,11 @@ class Engine:
         )
         self.use_loss_masking = bool(use_loss_masking)
         self.accum_steps = max(1, int(accumulation_steps))
+        # Polyak/EMA weight averaging (no reference analogue): a trace-time
+        # constant, so the disabled path compiles to exactly the old program.
+        self.ema_decay = float(ema_decay)
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError("ema_decay must be in [0, 1)")
         self.tx = build_optimizer(grad_clip_norm, weight_decay)
         self.num_series = int(num_series)
         self._train_step = jax.jit(
@@ -109,7 +116,21 @@ class Engine:
             if self.accum_steps > 1
             else None
         )
-        return TrainState(params=params, opt_state=opt_state, grad_accum=accum)
+        # distinct buffers: params get donated by the step programs
+        ema = (
+            jax.tree_util.tree_map(lambda p: p.copy(), params)
+            if self.ema_decay > 0.0
+            else None
+        )
+        return TrainState(params=params, opt_state=opt_state, grad_accum=accum, ema=ema)
+
+    def _ema_update(self, ema, params):
+        """Trace-time-gated EMA: ``None`` (and no ops) when disabled."""
+
+        if self.ema_decay <= 0.0:
+            return None
+        d = self.ema_decay
+        return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
     # -- forward / decode ------------------------------------------------------
 
@@ -282,6 +303,7 @@ class Engine:
                     params=params,
                     opt_state=opt_state,
                     grad_accum=jax.tree_util.tree_map(jnp.zeros_like, accum),
+                    ema=self._ema_update(state.ema, params),
                 )
             else:
                 new_state = state.replace(grad_accum=accum)
@@ -289,7 +311,12 @@ class Engine:
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            new_state = TrainState(params=params, opt_state=opt_state, grad_accum=None)
+            new_state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                grad_accum=None,
+                ema=self._ema_update(state.ema, params),
+            )
         return new_state, loss, stats
 
     def train_step(self, state, lr, rng, batch, do_update: bool = True):
@@ -312,10 +339,13 @@ class Engine:
             updates, opt_state = self.tx.update(grads, carry.opt_state, carry.params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             params = jax.tree_util.tree_map(lambda p, u: p + u, carry.params, updates)
-            return TrainState(params=params, opt_state=opt_state, grad_accum=None), (
-                loss,
-                stats["mask_true"],
+            new_carry = TrainState(
+                params=params,
+                opt_state=opt_state,
+                grad_accum=None,
+                ema=self._ema_update(carry.ema, params),
             )
+            return new_carry, (loss, stats["mask_true"])
 
         final, (losses, mask_true) = jax.lax.scan(body, state, (rngs, batches))
         return final, losses, mask_true
@@ -359,10 +389,13 @@ class Engine:
             updates, opt_state = self.tx.update(grads, carry.opt_state, carry.params)
             updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
             params = jax.tree_util.tree_map(lambda p, u: p + u, carry.params, updates)
-            return TrainState(params=params, opt_state=opt_state, grad_accum=None), (
-                loss,
-                stats["mask_true"],
+            new_carry = TrainState(
+                params=params,
+                opt_state=opt_state,
+                grad_accum=None,
+                ema=self._ema_update(carry.ema, params),
             )
+            return new_carry, (loss, stats["mask_true"])
 
         final, (losses, mask_true) = jax.lax.scan(
             body, state, (rngs, idx, row_valid)

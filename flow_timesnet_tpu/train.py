@@ -565,6 +565,10 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         ),
     )
 
+    # Polyak/EMA weight averaging (`train.ema_decay`, default off — no
+    # reference analogue): the averaged weights are what get evaluated,
+    # selected and checkpointed; the raw weights keep training.
+    ema_decay = float(cfg["train"].get("ema_decay", 0.0) or 0.0)
     engine = Engine(
         tn_cfg,
         use_loss_masking=use_loss_masking,
@@ -572,6 +576,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         grad_clip_norm=float(cfg["train"].get("grad_clip_norm", 0.0) or 0.0),
         weight_decay=float(cfg["train"].get("weight_decay", 0.0)),
         num_series=len(ids),
+        ema_decay=ema_decay,
     )
 
     # init from the first train batch's shapes
@@ -874,10 +879,11 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             raise FloatingPointError(
                 f"Non-finite training loss at epoch {ep}; check data scaling and lr."
             )
+        eval_params = state.ema if ema_decay > 0.0 else state.params
         if use_resident:
-            metrics = engine.evaluate_resident(state.params, staged_val, val_idx, val_rv)
+            metrics = engine.evaluate_resident(eval_params, staged_val, val_idx, val_rv)
         else:
-            metrics = engine.evaluate(state.params, eval_batches())
+            metrics = engine.evaluate(eval_params, eval_batches())
         val_nll = float(metrics["nll"])
         val_smape = float(metrics["smape"])
         console().print(
@@ -900,7 +906,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             )
             # On-device snapshot: the full host fetch (10 MB over a ~40 ms
             # RTT relay) is deferred to the save sites / end of the loop.
-            best_params = device_snapshot(state.params)
+            best_params = device_snapshot(eval_params)
             best_epoch = ep
             patience = 0
         else:
@@ -942,7 +948,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         f"(val_smape={best_smape:.6f}, val_wsmape={best_wsmape:.6f})[/bold]"
     )
     if best_params is None:
-        best_params = host_fetch(state.params)
+        best_params = host_fetch(state.ema if ema_decay > 0.0 else state.params)
     else:
         # no-op for host trees (resume path); one fetch for device snapshots
         best_params = host_fetch(best_params)

@@ -338,3 +338,72 @@ def test_resident_training_with_augmentation_enabled():
         state, 1e-3, jax.random.PRNGKey(1), staged, jnp.asarray(idx), jnp.asarray(rv)
     )
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_ema_matches_manual_average_across_all_step_paths():
+    """EMA (train.ema_decay): the resident epoch, the scanned chunk and the
+    per-step path must all produce the same Polyak average, and that average
+    must equal a manual recomputation from the raw param trajectory."""
+
+    batcher = _make_batcher(n_folds=2, N=3, L=8, H=4)
+    sigma = np.full(3, 0.15, np.float32)
+    staged = _stage_from_batcher(batcher, sigma)
+    cfg = _tiny_engine(3, 8, 4, with_marks=True).cfg
+    decay = 0.8
+    engines = [
+        Engine(cfg, use_loss_masking=True, weight_decay=1e-6, num_series=3, ema_decay=decay)
+        for _ in range(3)
+    ]
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    init_batch = engines[0].gather_staged_batch(staged, idx[0], rv[0])
+    states = [e.init_state(jax.random.PRNGKey(0), init_batch) for e in engines]
+    assert states[0].ema is not None
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(7), i))(
+        jnp.arange(idx.shape[0])
+    )
+
+    # path A: whole epoch resident
+    state_a, _, _ = engines[0].train_epoch_resident(
+        states[0], 1e-3, keys, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+
+    # path B: per-step train_step, tracking the EMA manually from raw params
+    state_b = states[1]
+    manual = jax.tree_util.tree_map(lambda p: np.asarray(p), state_b.ema)
+    for s in range(idx.shape[0]):
+        batch = engines[1].gather_staged_batch(staged, idx[s], rv[s])
+        state_b, _, _ = engines[1].train_step(state_b, 1e-3, keys[s], batch, True)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: e * decay + np.asarray(p) * (1 - decay), manual, state_b.params
+        )
+
+    # path C: one scanned chunk over pre-gathered batches
+    stacked = None
+    gathered = [engines[2].gather_staged_batch(staged, idx[s], rv[s]) for s in range(idx.shape[0])]
+    stacked = {
+        k: jnp.stack([g[k] for g in gathered])
+        for k in gathered[0]
+        if gathered[0][k] is not None
+    }
+    state_c, _, _ = engines[2].train_steps_scanned(states[2], 1e-3, keys, stacked)
+
+    for ea, eb, ec, em in zip(
+        jax.tree_util.tree_leaves(state_a.ema),
+        jax.tree_util.tree_leaves(state_b.ema),
+        jax.tree_util.tree_leaves(state_c.ema),
+        jax.tree_util.tree_leaves(manual),
+    ):
+        np.testing.assert_allclose(np.asarray(eb), em, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ec), np.asarray(eb), rtol=1e-5, atol=1e-6)
+    # EMA differs from the raw params (it is genuinely lagging)
+    diffs = [
+        float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
+        for e, p in zip(
+            jax.tree_util.tree_leaves(state_b.ema),
+            jax.tree_util.tree_leaves(state_b.params),
+        )
+    ]
+    assert max(diffs) > 1e-6

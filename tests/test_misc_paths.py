@@ -272,3 +272,42 @@ def test_debug_knobs_train_end_to_end(short_history_setup, capsys):
             jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))(jnp.float32(-1.0))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_ema_train_end_to_end_and_resume(short_history_setup, tmp_path):
+    """``train.ema_decay`` end to end: the checkpointed weights are the
+    averaged ones, the train-state round-trips the EMA buffers on resume,
+    and gradient accumulation keeps the average consistent."""
+
+    from flow_timesnet_tpu.utils.artifacts import load_checkpoint
+
+    tmp, train_csv, test_dir = short_history_setup
+    cfg = _short_cfg(tmp, train_csv, test_dir, "repeat")
+    cfg["train"]["ema_decay"] = 0.98
+    cfg["train"]["epochs"] = 2
+    cfg["train"]["save_train_state"] = True
+    cfg["artifacts"]["dir"] = str(tmp_path / "art_ema")
+    best_nll, _ = train_once(PipelineConfig.from_mapping(cfg))
+    assert np.isfinite(best_nll)
+
+    # the checkpoint carries finite averaged weights and the state file exists
+    params, _ = load_checkpoint(str(tmp_path / "art_ema" / "timesnet.msgpack"))
+    assert all(
+        np.all(np.isfinite(np.asarray(p))) for p in jax.tree_util.tree_leaves(params)
+    )
+    st_path = str(tmp_path / "art_ema" / "train_state.msgpack")
+    assert os.path.exists(st_path)
+
+    # resume one more epoch: the template must accept the ema field
+    cfg["train"]["epochs"] = 3
+    cfg["train"]["resume"] = True
+    best_nll2, _ = train_once(PipelineConfig.from_mapping(cfg))
+    assert np.isfinite(best_nll2)
+
+    # accumulation path keeps EMA enabled (host pipeline is forced)
+    cfg2 = _short_cfg(tmp, train_csv, test_dir, "repeat")
+    cfg2["train"]["ema_decay"] = 0.9
+    cfg2["train"]["accumulation_steps"] = 2
+    cfg2["artifacts"]["dir"] = str(tmp_path / "art_ema_accum")
+    best_nll3, _ = train_once(PipelineConfig.from_mapping(cfg2))
+    assert np.isfinite(best_nll3)
