@@ -512,6 +512,28 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
     )
     engine = Engine(tn_cfg, num_series=len(ids))
 
+    # Data-parallel inference (``predict.data_parallel: auto|off``, default
+    # auto): the per-file forward is one [num_series, L, 1] batch — shard its
+    # leading axis over the mesh with params replicated, pad the row count to
+    # the mesh size, slice the padding back off. Single-process only (the
+    # sharded output is fetched with one np.asarray); the forward is
+    # row-independent so padded rows cannot perturb real ones.
+    import jax as _jax
+
+    from .parallel.mesh import make_mesh, replicated, shard_batch
+
+    predict_dp = str(
+        (cfg_used.get("predict") or {}).get("data_parallel", "auto")
+    ).lower() not in ("off", "false", "0", "no")
+    pred_mesh = None
+    if predict_dp and _jax.process_count() == 1 and len(_jax.devices()) > 1:
+        pred_mesh = make_mesh()
+        params = _jax.device_put(params, replicated(pred_mesh))
+        console().print(
+            f"[bold green]Predict:[/bold green] data-parallel over "
+            f"{pred_mesh.devices.size} devices"
+        )
+
     id_position_map = {sid: i for i, sid in enumerate(ids)}
     (
         test_batches,
@@ -633,24 +655,51 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             sigma_vector[gather].reshape(-1, 1, 1) if sigma_vector is not None else None
         )
 
+        arrays = {
+            "x": xb,
+            "x_mark": x_mark,
+            "y_mark": y_mark,
+            "static": static,
+            "ids": ids_arr,
+            "floor": floor,
+        }
+        if pred_mesh is not None:
+            m = int(pred_mesh.devices.size)
+            pad = (-num_series) % m
+            if pad:
+                arrays = {
+                    k: (
+                        np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                        if v is not None
+                        else None
+                    )
+                    for k, v in arrays.items()
+                }
+            arrays = shard_batch(pred_mesh, arrays)
+        else:
+            arrays = {
+                k: (jnp.asarray(v) if v is not None else None)
+                for k, v in arrays.items()
+            }
+
         kw = dict(
-            x_mark=jnp.asarray(x_mark) if x_mark is not None else None,
-            static=jnp.asarray(static) if static is not None else None,
-            ids=jnp.asarray(ids_arr),
-            floor=jnp.asarray(floor) if floor is not None else None,
+            x_mark=arrays["x_mark"],
+            static=arrays["static"],
+            ids=arrays["ids"],
+            floor=arrays["floor"],
         )
         if tn_cfg.mode == "direct":
-            rate_pred, _ = engine.forward(params, jnp.asarray(xb), **kw)
+            rate_pred, _ = engine.forward(params, arrays["x"], **kw)
         else:
             rate_pred, _ = engine.rollout(
                 params,
-                jnp.asarray(xb),
+                arrays["x"],
                 pred_len,
-                y_mark=jnp.asarray(y_mark) if y_mark is not None else None,
+                y_mark=arrays["y_mark"],
                 **kw,
             )
 
-        rate_np = np.asarray(rate_pred)[:, :, 0]  # [num_series, H]
+        rate_np = np.asarray(rate_pred)[:num_series, :, 0]  # [num_series, H]
         effective_steps = len(batch.pred_row_keys)
         Pn = np.zeros((effective_steps, len(ids)), np.float32)
         Pn[:, gather] = rate_np[:, :effective_steps].T

@@ -170,3 +170,68 @@ def test_static_file_artifact_override(tmp_path):
     cfg3["artifacts"] = dict(cfg["artifacts"], static_file=str(tmp_path / "nope.pkl"))
     cfg3["submission"] = {"out_path": str(tmp_path / "sub3.csv"), "format": "row_key"}
     predict_once(PipelineConfig.from_mapping(cfg3))
+
+
+def test_predict_data_parallel_matches_single_device(tmp_path):
+    """Data-parallel predict (predict.data_parallel, 8 virtual devices):
+    the sharded + row-padded forward must reproduce the single-device
+    submission (the forward is row-independent)."""
+
+    import jax
+
+    rng = np.random.default_rng(3)
+    T = 48
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(5):  # 5 series: pads 5 -> 8 on the virtual mesh
+        vals = np.maximum(
+            np.round(4 + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)), 0
+        )
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir)
+    tdates = pd.date_range(dates[-1] + pd.Timedelta(days=1), periods=14, freq="D")
+    trows = [
+        {"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": 3.0}
+        for j in range(5)
+        for d in tdates
+    ]
+    pd.DataFrame(trows).to_csv(test_dir / "TEST_00.csv", index=False)
+
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "test_dir": str(test_dir),
+            "date_col": "date", "id_col": "id", "target_col": "target",
+            "horizon": 3, "time_features": {"enabled": False},
+        },
+        "preprocess": {"normalize": "none", "clip_negative": True},
+        "window": {"input_len": 12, "pred_len": 3},
+        "model": {
+            "mode": "direct", "input_len": 12, "pred_len": 3, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+        },
+        "train": {
+            "device": "cpu", "epochs": 1, "batch_size": 8, "lr": 1e-3,
+            "lr_warmup_steps": 0,
+            "val": {"strategy": "holdout", "holdout_days": 16},
+        },
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "submission": {"out_path": str(tmp_path / "sub_dp.csv"), "format": "row_key"},
+        "tuning": {"seed": 1},
+    }
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    train_once(PipelineConfig.from_mapping(cfg))
+    out_dp = predict_once(PipelineConfig.from_mapping(cfg))
+
+    cfg["predict"] = {"data_parallel": "off"}
+    cfg["submission"] = {"out_path": str(tmp_path / "sub_1d.csv"), "format": "row_key"}
+    out_1d = predict_once(PipelineConfig.from_mapping(cfg))
+
+    dp = pd.read_csv(out_dp).set_index("row_key").to_numpy(dtype=float)
+    sd = pd.read_csv(out_1d).set_index("row_key").to_numpy(dtype=float)
+    assert dp.shape == sd.shape == (3, 5)
+    np.testing.assert_allclose(dp, sd, rtol=1e-5, atol=1e-6)
