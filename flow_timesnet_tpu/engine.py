@@ -66,6 +66,7 @@ class Engine:
         weight_decay: float = 0.0,
         num_series: int = 1,
         ema_decay: float = 0.0,
+        donate: bool = True,
     ) -> None:
         self.cfg = cfg
         self.model = TimesNet(cfg)
@@ -86,10 +87,13 @@ class Engine:
             raise ValueError("ema_decay must be in [0, 1)")
         self.tx = build_optimizer(grad_clip_norm, weight_decay)
         self.num_series = int(num_series)
+        # donation is off under train.debug_nans: the de-optimized NaN-hunt
+        # re-run replays the original arguments, which donation deletes
+        self._donate = (0,) if donate else ()
         self._train_step = jax.jit(
             self._train_step_impl,
             static_argnames=("do_update",),
-            donate_argnums=(0,),
+            donate_argnums=self._donate,
         )
         self._eval_step = jax.jit(self._eval_step_impl)
         self._forward = jax.jit(
@@ -135,7 +139,8 @@ class Engine:
     # -- forward / decode ------------------------------------------------------
 
     def _forward_impl(
-        self, params, x, x_mark, static, ids, floor, deterministic=True, rng=None
+        self, params, x, x_mark, static, ids, floor, row_valid=None,
+        deterministic=True, rng=None,
     ):
         rngs = {"dropout": rng} if rng is not None else None
         return self.model.apply(
@@ -146,13 +151,16 @@ class Engine:
             ids,
             dispersion_floor=floor,
             deterministic=deterministic,
+            row_valid=row_valid,
             rngs=rngs,
         )
 
-    def forward(self, params, x, x_mark=None, static=None, ids=None, floor=None):
-        return self._forward(params, x, x_mark, static, ids, floor)
+    def forward(self, params, x, x_mark=None, static=None, ids=None, floor=None,
+                row_valid=None):
+        return self._forward(params, x, x_mark, static, ids, floor, row_valid)
 
-    def _rollout_impl(self, params, x, x_mark, y_mark, static, ids, floor, horizon: int):
+    def _rollout_impl(self, params, x, x_mark, y_mark, static, ids, floor,
+                      horizon: int, row_valid=None):
         """Recursive H-step decode via lax.scan carrying (window, marks)."""
 
         has_marks = x_mark is not None
@@ -165,7 +173,8 @@ class Engine:
         def step(carry, ymark_t):
             window, marks = carry
             rate, disp = self._forward_impl(
-                params, window, marks, static, ids, floor, deterministic=True
+                params, window, marks, static, ids, floor, row_valid,
+                deterministic=True,
             )
             rate_step = rate[:, -1:, :]
             disp_step = disp[:, -1:, :]
@@ -181,9 +190,9 @@ class Engine:
         return jnp.swapaxes(rates, 0, 1), jnp.swapaxes(disps, 0, 1)
 
     def rollout(self, params, x, horizon, x_mark=None, y_mark=None, static=None,
-                ids=None, floor=None):
+                ids=None, floor=None, row_valid=None):
         return self._rollout(params, x, x_mark, y_mark, static, ids, floor,
-                             horizon=int(horizon))
+                             horizon=int(horizon), row_valid=row_valid)
 
     # -- observability ---------------------------------------------------------
 
@@ -269,6 +278,7 @@ class Engine:
             batch.get("ids"),
             dispersion_floor=batch.get("floor"),
             deterministic=False,
+            row_valid=batch.get("row_valid"),
             rngs={"dropout": rng},
         )
         y = batch["y"]
@@ -356,7 +366,7 @@ class Engine:
         if self.accum_steps != 1:
             raise ValueError("scanned training requires accumulation_steps == 1")
         if not hasattr(self, "_train_scan"):
-            self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
+            self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=self._donate)
         return self._train_scan(state, lr, rngs, stacked_batches)
 
     # -- device-resident epoch (gather inside the program) ----------------------
@@ -413,7 +423,7 @@ class Engine:
             raise ValueError("device-resident training requires accumulation_steps == 1")
         if not hasattr(self, "_train_epoch_resident"):
             self._train_epoch_resident = jax.jit(
-                self._train_epoch_resident_impl, donate_argnums=(0,)
+                self._train_epoch_resident_impl, donate_argnums=self._donate
             )
         return self._train_epoch_resident(state, lr, rngs, staged, idx, row_valid)
 
@@ -495,6 +505,7 @@ class Engine:
                 batch.get("static"),
                 batch.get("ids"),
                 batch.get("floor"),
+                batch.get("row_valid"),
                 deterministic=True,
             )
         else:
@@ -507,6 +518,7 @@ class Engine:
                 batch.get("ids"),
                 batch.get("floor"),
                 horizon=int(y.shape[1]),
+                row_valid=batch.get("row_valid"),
             )
         rate = rate[:, : y.shape[1], :]
         dispersion = dispersion[:, : y.shape[1], :]

@@ -80,17 +80,39 @@ def _lower_median(x: Array, axis: int) -> Array:
     return _lower_median_last(jnp.moveaxis(x, axis, -1))
 
 
+def _batch_mean(values: Array, row_weight: Optional[Array]) -> Array:
+    """Mean over the batch axis, optionally weighted by per-row validity.
+
+    With ``row_weight`` (e.g. ``row_valid`` from DP batch padding) the mean
+    is taken over real rows only, so zero-padded rows cannot perturb the
+    batch-coupled period statistics — a padded batch selects exactly the
+    periods the unpadded batch would.
+    """
+
+    if row_weight is None:
+        return values.mean(axis=0)
+    w = row_weight.astype(jnp.float32)
+    shape = (w.shape[0],) + (1,) * (values.ndim - 1)
+    w = w.reshape(shape)
+    # zero out dropped rows BEFORE multiplying: values may hold -inf
+    # (masked group logits), and -inf * 0 would poison the sum with NaN
+    masked = jnp.where(w > 0.0, values, 0.0)
+    return (masked * w).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
+
+
 def select_periods(
     x: Array,
     k_periods: int,
     pmax: int,
     min_period_threshold: int = 1,
+    row_weight: Optional[Array] = None,
 ) -> PeriodSelection:
     """Shared dominant-period search over ``x`` shaped [B, L, C].
 
     Pipeline (all float32, fully jittable): rFFT over time -> amplitude ->
-    channel lower-median -> batch mean -> DC bin to -inf -> score with the
-    long-period log penalty ``-1e-8 * log1p(bin)`` -> static top-k ->
+    channel lower-median -> batch mean (masked by ``row_weight`` when batch
+    rows are padding) -> DC bin to -inf -> score with the long-period log
+    penalty ``-1e-8 * log1p(bin)`` -> static top-k ->
     ``period = ceil(L / bin)`` clamped to ``[min_period_threshold,
     min(pmax, L - 1)]`` -> candidates with fewer than two cycles are masked.
     """
@@ -114,7 +136,7 @@ def select_periods(
     spec = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
     amp = jnp.abs(spec)  # [B, F, C]
     amp_med = _lower_median(amp, axis=2)  # [B, F]
-    amp_mean = amp_med.mean(axis=0)  # [F]
+    amp_mean = _batch_mean(amp_med, row_weight)  # [F]
     amp_mean = amp_mean.at[0].set(_NEG_INF)
 
     bins = jnp.arange(n_freq, dtype=jnp.float32)
@@ -273,6 +295,7 @@ def group_periods(
     max_period: Optional[int] = None,
     log_base: Optional[float] = None,
     max_unique: Optional[int] = None,
+    row_weight: Optional[Array] = None,
 ) -> GroupedPeriods:
     """Static-K masked reimplementation of the reference ``PeriodGrouper``.
 
@@ -314,7 +337,7 @@ def group_periods(
         ).astype(jnp.int32)
 
     amps32 = amplitudes.astype(jnp.float32)
-    mean_amp = amps32.mean(axis=0)  # [K]
+    mean_amp = _batch_mean(amps32, row_weight)  # [K]
 
     same = (keys[:, None] == keys[None, :]) & ok[:, None] & ok[None, :]  # [K, K]
     # Canonical member per group: first argmax of batch-mean amplitude among
@@ -330,7 +353,7 @@ def group_periods(
     member_mask = (canonical[None, :] == jnp.arange(K, dtype=jnp.int32)[:, None]) & ok[None, :]
     masked_amps = jnp.where(member_mask[None, :, :], amps32[:, None, :], _NEG_INF)  # [B,K,K]
     group_logits = jax_logsumexp(masked_amps, axis=2)  # [B, K] (-inf for non-reps)
-    group_score = jnp.where(is_rep, group_logits.mean(axis=0), _NEG_INF)  # [K]
+    group_score = jnp.where(is_rep, _batch_mean(group_logits, row_weight), _NEG_INF)  # [K]
 
     if max_unique is not None and max_unique < K:
         # Rank representatives by (score desc, key asc) — mirrors torch.topk

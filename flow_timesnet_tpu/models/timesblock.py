@@ -245,6 +245,7 @@ class TimesBlock(nn.Module):
         x: Array,
         selection: PeriodSelection,
         deterministic: bool = True,
+        row_weight: Optional[Array] = None,
     ) -> Array:
         if x.ndim != 3:
             raise ValueError("TimesBlock expects input shaped [B, L, d_model]")
@@ -264,6 +265,7 @@ class TimesBlock(nn.Module):
             max_period=self.max_period,
             log_base=self.log_base,
             max_unique=self.max_unique,
+            row_weight=row_weight,
         )
         # Telemetry (replaces the reference's module-attribute counters,
         # timesnet.py:714-720, 891-893): collected via

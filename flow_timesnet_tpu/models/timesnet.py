@@ -152,6 +152,7 @@ class TimesNet(nn.Module):
         series_ids: Optional[Array] = None,
         dispersion_floor: Optional[Array] = None,
         deterministic: bool = True,
+        row_valid: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         cfg = self.cfg
         if x.ndim != 3:
@@ -258,9 +259,9 @@ class TimesNet(nn.Module):
             pmax = min(pmax, max(1, int(cfg.period_cap)))
         min_thresh = min(pmax, max(1, cfg.min_period_threshold))
 
-        def selector(feat: Array) -> PeriodSelection:
-            return select_periods(feat, cfg.k_periods, pmax, min_thresh)
-
+        # ``row_valid`` masks DP-padding rows out of the batch-coupled period
+        # statistics (selector batch mean + grouper scores): a padded batch
+        # must select exactly what the unpadded batch would.
         seq = features
         layer_norm = LayerNorm32(cfg.d_model, name="layer_norm")
         residual_dropout = nn.Dropout(cfg.dropout)
@@ -284,13 +285,20 @@ class TimesNet(nn.Module):
                 name=f"blocks_{i}",
             )
 
-            def run_block(mdl, feat):
-                return mdl(feat, selector(feat), deterministic=deterministic)
+            def run_block(mdl, feat, rv):
+                return mdl(
+                    feat,
+                    select_periods(
+                        feat, cfg.k_periods, pmax, min_thresh, row_weight=rv
+                    ),
+                    deterministic=deterministic,
+                    row_weight=rv,
+                )
 
             if cfg.use_checkpoint:
-                updated = nn.remat(run_block)(block, seq)
+                updated = nn.remat(run_block)(block, seq, row_valid)
             else:
-                updated = run_block(block, seq)
+                updated = run_block(block, seq, row_valid)
             delta = updated - seq
             seq = seq + residual_dropout(delta, deterministic=deterministic)
             seq = layer_norm(seq)

@@ -662,6 +662,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             "static": static,
             "ids": ids_arr,
             "floor": floor,
+            "row_valid": None,
         }
         if pred_mesh is not None:
             m = int(pred_mesh.devices.size)
@@ -675,6 +676,12 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
                     )
                     for k, v in arrays.items()
                 }
+                # period selection/grouping take batch means; row_valid masks
+                # the padded rows out so the sharded forward selects exactly
+                # what the unpadded single-device batch would
+                arrays["row_valid"] = np.concatenate(
+                    [np.ones(num_series, np.float32), np.zeros(pad, np.float32)]
+                )
             arrays = shard_batch(pred_mesh, arrays)
         else:
             arrays = {
@@ -687,6 +694,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             static=arrays["static"],
             ids=arrays["ids"],
             floor=arrays["floor"],
+            row_valid=arrays["row_valid"],
         )
         if tn_cfg.mode == "direct":
             rate_pred, _ = engine.forward(params, arrays["x"], **kw)

@@ -281,6 +281,17 @@ def _staged_nbytes(batcher) -> int:
 
 
 def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
+    # ``train.debug_nans`` flips a process-global jax.config flag; restore it
+    # on every exit so one debug run cannot leak de-optimized NaN checking
+    # into subsequent predict/tune work in the same process.
+    prev_debug_nans = bool(jax.config.jax_debug_nans)
+    try:
+        return _train_once_impl(cfg)
+    finally:
+        jax.config.update("jax_debug_nans", prev_debug_nans)
+
+
+def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
     if isinstance(cfg, PipelineConfig):
         pipeline_cfg = cfg
     elif isinstance(cfg, dict):
@@ -302,8 +313,12 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
     # Sanitizer analogue (SURVEY §5.2): when ``train.debug_nans`` is set, XLA
     # re-runs any program that produced a NaN in de-optimized mode and raises
     # at the exact primitive — the jit-era replacement for the reference's
-    # eager finiteness asserts (timesnet.py:2094-2101).
-    if bool(cfg["train"].get("debug_nans", False)):
+    # eager finiteness asserts (timesnet.py:2094-2101). The de-optimized
+    # re-run replays the ORIGINAL arguments, so buffer donation must be off
+    # for the step programs (donated buffers would already be deleted);
+    # train_once restores the global flag on exit.
+    debug_nans = bool(cfg["train"].get("debug_nans", False))
+    if debug_nans:
         jax.config.update("jax_debug_nans", True)
     debug_memory = bool(cfg["model"].get("debug_memory", False))
     deterministic = bool(cfg["train"].get("deterministic", False))
@@ -577,6 +592,7 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         weight_decay=float(cfg["train"].get("weight_decay", 0.0)),
         num_series=len(ids),
         ema_decay=ema_decay,
+        donate=not debug_nans,
     )
 
     # init from the first train batch's shapes

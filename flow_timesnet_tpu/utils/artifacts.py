@@ -16,6 +16,7 @@ import pickle
 import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
+import jax
 import numpy as np
 from flax import serialization
 
@@ -104,7 +105,26 @@ def load_train_state(path: str, template_state: Any) -> Tuple[Any, Dict[str, Any
         payload = serialization.msgpack_restore(f.read())
     if not isinstance(payload, dict) or "state" not in payload:
         raise ValueError(f"Unrecognised train-state payload in {path}")
-    state = serialization.from_state_dict(template_state, payload["state"])
+    state_sd = payload["state"]
+    # ``ema`` migration: files written before the EMA field existed (or with
+    # EMA off) lack a usable average, and files written with EMA on may be
+    # resumed with it off. Reconcile against the template so every
+    # combination round-trips instead of tripping flax's strict field match.
+    template_sd = serialization.to_state_dict(template_state)
+    if isinstance(state_sd, dict) and isinstance(template_sd, dict):
+        if "ema" in template_sd:
+            if template_sd["ema"] is None:
+                state_sd["ema"] = None  # EMA off now: drop any stored average
+            elif state_sd.get("ema") is None:
+                # pre-EMA file (or EMA previously off): restart the average
+                # from the resumed raw params (copies: distinct buffers, the
+                # step programs donate the state)
+                state_sd["ema"] = jax.tree_util.tree_map(
+                    np.copy, state_sd.get("params", template_sd["ema"])
+                )
+        else:
+            state_sd.pop("ema", None)
+    state = serialization.from_state_dict(template_state, state_sd)
     return state, dict(payload.get("extra") or {})
 
 

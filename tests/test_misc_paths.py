@@ -263,11 +263,15 @@ def test_debug_knobs_train_end_to_end(short_history_setup, capsys):
     cfg["train"]["debug_nans"] = True
     cfg["model"]["debug_memory"] = True
     cfg["artifacts"]["dir"] = str(tmp_path / "artifacts_debug")
+    assert not jax.config.jax_debug_nans
+    best_nll, _ = train_once(PipelineConfig.from_mapping(cfg))
+    assert np.isfinite(best_nll)
+    # the flag is process-global: train_once must restore it on exit so a
+    # debug run cannot leak de-optimized NaN checking into later work
+    assert not jax.config.jax_debug_nans
+    # under the flag a NaN-producing jitted program raises at the source
     try:
-        best_nll, _ = train_once(PipelineConfig.from_mapping(cfg))
-        assert np.isfinite(best_nll)
-        assert jax.config.jax_debug_nans
-        # under the flag a NaN-producing jitted program raises at the source
+        jax.config.update("jax_debug_nans", True)
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))(jnp.float32(-1.0))
     finally:

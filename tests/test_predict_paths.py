@@ -184,8 +184,17 @@ def test_predict_data_parallel_matches_single_device(tmp_path):
     dates = pd.date_range("2024-01-01", periods=T, freq="D")
     rows = []
     for j in range(5):  # 5 series: pads 5 -> 8 on the virtual mesh
+        # heterogeneous periodicities: the FFT selector takes a BATCH mean,
+        # so duplicated padding rows would shift the selected periods for
+        # every series unless the padded rows are masked out (row_valid)
+        period = 7 if j < 3 else 4
+        amp = 2.0 + j
         vals = np.maximum(
-            np.round(4 + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)), 0
+            np.round(
+                4 + amp * np.sin(2 * math.pi * np.arange(T) / period)
+                + rng.normal(0, 0.3, T)
+            ),
+            0,
         )
         for d, v in zip(dates, vals):
             rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
@@ -211,7 +220,7 @@ def test_predict_data_parallel_matches_single_device(tmp_path):
         "window": {"input_len": 12, "pred_len": 3},
         "model": {
             "mode": "direct", "input_len": 12, "pred_len": 3, "d_model": 8,
-            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "d_ff": 16, "n_layers": 1, "k_periods": 2, "min_period_threshold": 2,
             "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
         },
         "train": {

@@ -86,3 +86,57 @@ def test_scan_steps_training_matches_per_step(tmp_path):
     cfg_scan["train"]["scan_steps"] = 3
     nll_scan, _ = train_once(PipelineConfig.from_mapping(cfg_scan))
     assert nll_scan == pytest.approx(nll_loop, rel=1e-5)
+
+
+def test_train_state_ema_field_migration(tmp_path):
+    """load_train_state reconciles the ema field across format generations:
+    pre-EMA files load into EMA-on and EMA-off templates, and EMA-on files
+    load with EMA off (average dropped)."""
+
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from flow_timesnet_tpu.engine import TrainState
+    from flow_timesnet_tpu.utils.artifacts import load_train_state, save_train_state
+
+    params = {"w": np.arange(4, dtype=np.float32)}
+    opt = {"m": np.zeros(4, np.float32)}
+    state_off = TrainState(params=params, opt_state=opt, grad_accum=None, ema=None)
+
+    # emulate a pre-EMA file: serialize, then strip the ema key entirely
+    path = str(tmp_path / "ts.msgpack")
+    save_train_state(path, state_off, {"epoch": 3})
+    raw = serialization.msgpack_restore(open(path, "rb").read())
+    del raw["state"]["ema"]
+    open(path, "wb").write(serialization.msgpack_serialize(raw))
+
+    # old file -> EMA-off template
+    got, extra = load_train_state(path, state_off)
+    assert got.ema is None and extra["epoch"] == 3
+    np.testing.assert_array_equal(got.params["w"], params["w"])
+
+    # old file -> EMA-on template: average restarts from the resumed params
+    state_on = TrainState(
+        params=jax.tree_util.tree_map(np.zeros_like, params),
+        opt_state=opt,
+        grad_accum=None,
+        ema=jax.tree_util.tree_map(np.zeros_like, params),
+    )
+    got_on, _ = load_train_state(path, state_on)
+    np.testing.assert_array_equal(got_on.ema["w"], params["w"])
+    assert got_on.ema["w"] is not got_on.params["w"]  # distinct buffers
+
+    # EMA-on file -> EMA-off template: the stored average is dropped
+    ema_state = TrainState(
+        params=params, opt_state=opt, grad_accum=None,
+        ema={"w": np.full(4, 7.0, np.float32)},
+    )
+    path2 = str(tmp_path / "ts_ema.msgpack")
+    save_train_state(path2, ema_state, {"epoch": 5})
+    got_off, _ = load_train_state(path2, state_off)
+    assert got_off.ema is None
+
+    # EMA-on file -> EMA-on template: round-trips intact
+    got_rt, _ = load_train_state(path2, state_on)
+    np.testing.assert_array_equal(got_rt.ema["w"], np.full(4, 7.0, np.float32))

@@ -79,3 +79,83 @@ def test_k_larger_than_spectrum_is_clamped():
     x = _sinusoids(L, [4], [1.0])
     sel = select_periods(jnp.asarray(x), 10, L, 1)
     assert sel.periods.shape[0] == 4
+
+
+def test_row_weight_masks_padding_out_of_selection_exactly():
+    """select_periods/group_periods with zero-padded rows + row_weight must
+    reproduce the unpadded batch's outputs exactly (DP padding invariance)."""
+
+    import numpy as np
+
+    from flow_timesnet_tpu.models.period import group_periods, select_periods
+
+    rng = np.random.default_rng(0)
+    B, L, C = 5, 24, 3
+    t = np.arange(L)
+    x = np.stack(
+        [
+            4
+            + (2 + b) * np.sin(2 * np.pi * t / (7 if b < 3 else 4))[:, None]
+            + rng.normal(0, 0.3, (L, C))
+            for b in range(B)
+        ]
+    ).astype(np.float32)
+
+    sel_ref = select_periods(jnp.asarray(x), 3, L, 2)
+    g_ref = group_periods(
+        sel_ref.periods, sel_ref.amplitudes, sel_ref.valid, seq_len=L, max_unique=2
+    )
+
+    # pad 5 -> 8 with zero rows; weight the real rows only
+    pad = np.zeros((3, L, C), np.float32)
+    xp = jnp.asarray(np.concatenate([x, pad]))
+    w = jnp.asarray(np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32))
+    sel_pad = select_periods(xp, 3, L, 2, row_weight=w)
+    g_pad = group_periods(
+        sel_pad.periods,
+        sel_pad.amplitudes,
+        sel_pad.valid,
+        seq_len=L,
+        max_unique=2,
+        row_weight=w,
+    )
+
+    np.testing.assert_array_equal(np.asarray(sel_ref.periods), np.asarray(sel_pad.periods))
+    np.testing.assert_array_equal(np.asarray(sel_ref.valid), np.asarray(sel_pad.valid))
+    np.testing.assert_array_equal(
+        np.asarray(sel_ref.freq_indices), np.asarray(sel_pad.freq_indices)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel_ref.amplitudes), np.asarray(sel_pad.amplitudes)[:B], rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(g_ref.periods), np.asarray(g_pad.periods))
+    np.testing.assert_array_equal(np.asarray(g_ref.canonical), np.asarray(g_pad.canonical))
+    np.testing.assert_allclose(
+        np.asarray(g_ref.weights), np.asarray(g_pad.weights)[:B], rtol=1e-6
+    )
+    assert np.all(np.isfinite(np.asarray(g_pad.weights)))
+
+    # and WITHOUT the weight, heterogeneous padding (duplicates of one row)
+    # genuinely changes the selection — the property the mask guards: three
+    # period-7 rows pick bin L/7, but 20 duplicated period-4 rows make the
+    # period-4 bin dominate the batch mean
+    maj = np.stack(
+        [4 + 8 * np.sin(2 * np.pi * t / 7)[:, None] + rng.normal(0, 0.1, (L, C))
+         for _ in range(3)]
+    ).astype(np.float32)
+    minority = (
+        4 + 6 * np.sin(2 * np.pi * t / 4)[:, None] + rng.normal(0, 0.1, (L, C))
+    ).astype(np.float32)[None]
+    base = np.concatenate([maj, minority])
+    sel_base = select_periods(jnp.asarray(base), 1, L, 2)
+    dup = np.concatenate([base, np.repeat(minority, 20, axis=0)])
+    sel_dup = select_periods(jnp.asarray(dup), 1, L, 2)
+    assert not np.array_equal(
+        np.asarray(sel_base.freq_indices), np.asarray(sel_dup.freq_indices)
+    )
+    # ...while the row_weight mask keeps it exactly invariant
+    w_dup = jnp.asarray(np.concatenate([np.ones(4), np.zeros(20)]).astype(np.float32))
+    sel_dup_w = select_periods(jnp.asarray(dup), 1, L, 2, row_weight=w_dup)
+    np.testing.assert_array_equal(
+        np.asarray(sel_base.freq_indices), np.asarray(sel_dup_w.freq_indices)
+    )
