@@ -107,3 +107,45 @@ def test_rollout_requires_future_marks():
     marks = jnp.zeros((2, cfg.input_len, 3))
     with np.testing.assert_raises(ValueError):
         engine.rollout(None, x, 4, x_mark=marks, y_mark=None)
+
+
+def test_rollout_row_valid_padding_invariance():
+    """Recursive decode with zero-padded rows + row_valid must reproduce the
+    unpadded rollout for the real rows (predict DP's recursive path)."""
+
+    cfg, engine = _make("recursive")
+    rng = np.random.default_rng(1)
+    B, H, pad = 3, 4, 5
+    x = rng.normal(2.0, 1.0, (B, cfg.input_len, 1)).astype(np.float32)
+    x_mark = rng.normal(size=(B, cfg.input_len, 3)).astype(np.float32)
+    y_mark = rng.normal(size=(B, H, 3)).astype(np.float32)
+    ids = np.array([[0], [1], [0]], np.int32)
+
+    params = engine.init_state(
+        jax.random.PRNGKey(0),
+        {"x": jnp.asarray(x), "x_mark": jnp.asarray(x_mark), "ids": jnp.asarray(ids)},
+    ).params
+
+    rate_ref, disp_ref = engine.rollout(
+        params, jnp.asarray(x), H,
+        x_mark=jnp.asarray(x_mark), y_mark=jnp.asarray(y_mark),
+        ids=jnp.asarray(ids),
+    )
+
+    def pad0(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths)
+
+    rv = np.concatenate([np.ones(B, np.float32), np.zeros(pad, np.float32)])
+    rate_pad, disp_pad = engine.rollout(
+        params, jnp.asarray(pad0(x)), H,
+        x_mark=jnp.asarray(pad0(x_mark)), y_mark=jnp.asarray(pad0(y_mark)),
+        ids=jnp.asarray(pad0(ids)), row_valid=jnp.asarray(rv),
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(rate_ref), np.asarray(rate_pad)[:B], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(disp_ref), np.asarray(disp_pad)[:B], rtol=1e-5, atol=1e-6
+    )
