@@ -273,6 +273,126 @@ def _expand_embedding(params: Dict[str, Any], required_vocab: int) -> int:
     return vocab
 
 
+def _ensemble_out_path(runtime_dict: Dict[str, Any]) -> str:
+    """Resolve the final submission path for an ensemble predict.
+
+    Prefers the runtime config; falls back to the base member's stored
+    ``config_used.yaml`` (the same precedence the single-model path applies
+    after its merge).
+    """
+
+    sub = runtime_dict.get("submission") or {}
+    path = sub.get("output_path") or sub.get("out_path")
+    if path:
+        return str(path)
+    artifacts_cfg = runtime_dict.get("artifacts") or {}
+    from .config import load_yaml
+
+    trained = load_yaml(
+        os.path.join(
+            artifacts_cfg["dir"], artifacts_cfg.get("config_file", "config_used.yaml")
+        )
+    )
+    sub = trained.get("submission") or {}
+    path = sub.get("output_path") or sub.get("out_path")
+    if not path:
+        raise ValueError(
+            "submission.output_path (or out_path) must be specified for ensemble "
+            "prediction"
+        )
+    return str(path)
+
+
+def _predict_ensemble(runtime_dict: Dict[str, Any], ensemble_dirs: Sequence[str]) -> str:
+    """Deep-ensemble inference over independently trained artifact dirs.
+
+    Runs the full single-model predict pipeline (validation chain included)
+    once per member — ``artifacts.dir`` first, then every entry of
+    ``predict.ensemble_dirs`` — and reduces the rendered submissions
+    cell-wise (``predict.ensemble_reduce``: ``mean`` (default) or
+    ``median``). Averaging final-scale predictions is the correct mixture
+    expectation even when members were trained with different scalers, and
+    reducing *rendered* submissions keeps every contract (row keys, template
+    alignment, missing-row policy, fill values) identical to the
+    single-model path. Member submissions are kept next to the output as
+    ``<out>.member<i>.csv``.
+
+    No reference analogue (the reference predicts from exactly one
+    checkpoint, ``/root/reference/src/timesnet_forecast/predict.py:345``);
+    measured on the demand benchmark a 3-seed mean cuts test sMAPE by
+    ~0.005 vs the average member (BENCHMARKS.md).
+    """
+
+    import copy
+
+    base_dir = (runtime_dict.get("artifacts") or {}).get("dir")
+    if not base_dir:
+        raise ValueError("artifacts.dir must be set for ensemble prediction")
+    member_dirs: List[str] = [base_dir]
+    for d in ensemble_dirs:
+        d = str(d)
+        if d not in member_dirs:
+            member_dirs.append(d)
+    if len(member_dirs) < 2:
+        raise ValueError(
+            "predict.ensemble_dirs must list at least one artifact directory "
+            "besides artifacts.dir"
+        )
+    reduce = str(
+        (runtime_dict.get("predict") or {}).get("ensemble_reduce", "mean")
+    ).lower()
+    if reduce not in ("mean", "median"):
+        raise ValueError(
+            f"predict.ensemble_reduce must be 'mean' or 'median', got {reduce!r}"
+        )
+
+    out_path = _ensemble_out_path(runtime_dict)
+    frames: List[pd.DataFrame] = []
+    for i, d in enumerate(member_dirs):
+        member = copy.deepcopy(runtime_dict)
+        member.setdefault("predict", {}).pop("ensemble_dirs", None)
+        member["artifacts"] = dict(member.get("artifacts") or {}, dir=d)
+        member_path = f"{out_path}.member{i}.csv"
+        member["submission"] = dict(
+            member.get("submission") or {},
+            out_path=member_path,
+            output_path=member_path,
+        )
+        console().print(
+            f"[bold green]Ensemble member {i + 1}/{len(member_dirs)}:[/bold green] {d}"
+        )
+        frames.append(pd.read_csv(predict_once(member), encoding="utf-8-sig"))
+
+    head = frames[0]
+    key_col = head.columns[0]
+    for i, frame in enumerate(frames[1:], start=1):
+        if list(frame.columns) != list(head.columns):
+            raise ValueError(
+                f"Ensemble member {member_dirs[i]} rendered different submission "
+                "columns than the base member"
+            )
+        if len(frame) != len(head) or not (frame[key_col] == head[key_col]).all():
+            raise ValueError(
+                f"Ensemble member {member_dirs[i]} rendered different submission "
+                "rows than the base member"
+            )
+    stacked = np.stack(
+        [frame.iloc[:, 1:].to_numpy(dtype=np.float64) for frame in frames]
+    )
+    reduced = np.median(stacked, axis=0) if reduce == "median" else stacked.mean(axis=0)
+    out_df = head.copy()
+    out_df.iloc[:, 1:] = reduced
+    out_dir = os.path.dirname(out_path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    out_df.to_csv(out_path, index=False, encoding="utf-8-sig")
+    console().print(
+        f"[bold green]Saved {reduce}-of-{len(member_dirs)} ensemble submission:"
+        f"[/bold green] {out_path}"
+    )
+    return out_path
+
+
 def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
     if isinstance(cfg, PipelineConfig):
         runtime_cfg = cfg
@@ -282,6 +402,9 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         raise TypeError("cfg must be a PipelineConfig or mapping")
 
     runtime_dict = runtime_cfg.to_dict()
+    ensemble_dirs = (runtime_dict.get("predict") or {}).get("ensemble_dirs") or []
+    if ensemble_dirs:
+        return _predict_ensemble(runtime_dict, ensemble_dirs)
     runtime_artifacts = runtime_dict.setdefault("artifacts", {})
     runtime_artifacts.setdefault("signature_file", "model_signature.json")
     runtime_artifacts.setdefault("metadata_file", "metadata.json")
