@@ -683,6 +683,19 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
     best_epoch = 0
     patience_limit = cfg["train"].get("early_stopping_patience")
     patience = 0
+    # Checkpoint-selection / early-stopping metric. The reference keys on val
+    # NLL only (train.py:1536-1571); ``smape`` exists because the measured
+    # val-NLL <-> test-sMAPE correlation inverts under EMA weight averaging
+    # (BENCHMARKS.md "EMA weight averaging A/B") — pairing ema_decay with
+    # selection_metric: smape keys selection on the metric that tracks the
+    # true future. best_nll/best_smape/best_wsmape always report the values
+    # AT the selected epoch.
+    selection_metric = str(cfg["train"].get("selection_metric", "nll")).lower()
+    if selection_metric not in ("nll", "smape"):
+        raise ValueError(
+            f"train.selection_metric must be 'nll' or 'smape', got {selection_metric!r}"
+        )
+    best_sel = float("inf")
     dropout_key = jax.random.fold_in(root_key, 1)
 
     # True mid-training resume (a capability the reference lacks — it keeps
@@ -702,6 +715,13 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         best_nll = float(resume_extra.get("best_nll", best_nll))
         best_smape = float(resume_extra.get("best_smape", best_smape))
         best_wsmape = float(resume_extra.get("best_wsmape", best_wsmape))
+        # migration: states saved before selection_metric existed carry no
+        # best_sel — derive it from the stored per-metric bests
+        best_sel = float(
+            resume_extra.get(
+                "best_sel", best_nll if selection_metric == "nll" else best_smape
+            )
+        )
         best_epoch = int(resume_extra.get("best_epoch", 0))
         patience = int(resume_extra.get("patience", 0))
         lr_ctl.load_state_dict(resume_extra.get("lr_state", {}))
@@ -913,8 +933,10 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             jax.profiler.stop_trace()
             profiling = False
             console().print(f"[cyan]Profiler trace written to {profile_dir}[/cyan]")
-        lr_ctl.observe(val_nll)
-        if val_nll < best_nll:
+        sel_value = val_nll if selection_metric == "nll" else val_smape
+        lr_ctl.observe(sel_value)
+        if sel_value < best_sel:
+            best_sel = sel_value
             best_nll = val_nll
             best_smape = val_smape
             best_wsmape = wsmape_from_series_sums(
@@ -930,7 +952,8 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             if patience_limit is not None and patience > int(patience_limit):
                 console().print(
                     f"[yellow]Early stopping at epoch {ep}; best epoch was {best_epoch} "
-                    f"with val_nll={best_nll:.6f} (val_smape={best_smape:.6f})[/yellow]"
+                    f"with val_{selection_metric}={best_sel:.6f} "
+                    f"(val_nll={best_nll:.6f}, val_smape={best_smape:.6f})[/yellow]"
                 )
                 break
         if save_state_enabled:
@@ -953,6 +976,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
                     "best_nll": best_nll,
                     "best_smape": best_smape,
                     "best_wsmape": best_wsmape,
+                    "best_sel": best_sel,
                     "best_epoch": best_epoch,
                     "patience": patience,
                     "lr_state": lr_ctl.state_dict(),

@@ -78,12 +78,24 @@ def tune(
     out_dir = out_dir or base_cfg.raw.get("artifacts", {}).get("dir", "outputs/artifacts")
     os.makedirs(out_dir, exist_ok=True)
 
+    # ``tuning.objective``: val_nll (reference behaviour, cli.py:74-82) or
+    # val_smape — both are the value at the selected checkpoint, so pairing
+    # val_smape with ``train.selection_metric: smape`` in the base config
+    # makes the tuner optimize exactly what selection optimizes.
+    objective_key = str(tuning_cfg.get("objective", "val_nll")).lower()
+    if objective_key not in ("val_nll", "nll", "val_smape", "smape"):
+        raise ValueError(
+            f"tuning.objective must be val_nll or val_smape, got {objective_key!r}"
+        )
+
     def run_with(params: Mapping[str, Any]) -> float:
         cfg_dict = base_cfg.to_dict()
         for path, value in params.items():
             _set_dotted(cfg_dict, path, value)
         trial_cfg = PipelineConfig.from_mapping(cfg_dict)
-        best_nll, _ = train_once(trial_cfg)
+        best_nll, info = train_once(trial_cfg)
+        if objective_key in ("val_smape", "smape"):
+            return float(info["metrics"]["smape"])
         return float(best_nll)
 
     results: Dict[str, Any]
@@ -117,7 +129,7 @@ def tune(
                 params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
                 value = run_with(params)
                 console().print(
-                    f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]"
+                    f"[cyan]trial {i + 1}/{trials}: {objective_key}={value:.6f} {params}[/cyan]"
                 )
                 if value < best_value:
                     best_value = value
@@ -141,14 +153,16 @@ def tune(
                 value = run_with(params)
                 sampler.observe(value, params)
                 console().print(
-                    f"[cyan]trial {i + 1}/{trials}: nll={value:.6f} {params}[/cyan]"
+                    f"[cyan]trial {i + 1}/{trials}: {objective_key}={value:.6f} {params}[/cyan]"
                 )
                 if value < best_value:
                     best_value = value
                     best_params = dict(params)
 
-    save_json({"best_value": best_value, "best_params": best_params},
-              os.path.join(out_dir, "best_params.json"))
+    save_json(
+        {"best_value": best_value, "objective": objective_key, "best_params": best_params},
+        os.path.join(out_dir, "best_params.json"),
+    )
     best_cfg = base_cfg.to_dict()
     for path, value in best_params.items():
         _set_dotted(best_cfg, path, value)
@@ -157,6 +171,6 @@ def tune(
         os.path.join(out_dir, "best_config.yaml"),
     )
     console().print(
-        f"[bold green]Best trial:[/bold green] nll={best_value:.6f} params={best_params}"
+        f"[bold green]Best trial:[/bold green] {objective_key}={best_value:.6f} params={best_params}"
     )
     return {"best_value": best_value, "best_params": best_params}
