@@ -295,18 +295,18 @@ class Forecaster:
         quantiles: Sequence[float] = (0.1, 0.5, 0.9),
         series: Optional[Sequence[str]] = None,
         horizon: Optional[int] = None,
+        method: str = "auto",
     ) -> Dict[float, Any]:
-        """NegBin predictive quantiles per series and step.
+        """NB2 predictive quantiles per series and step (original units).
 
-        Uses the NB2 parameterisation (mean ``mu``, dispersion ``alpha``,
-        ``Var = mu + alpha mu^2``): scipy's nbinom with ``n = 1/alpha`` and
-        ``p = n / (n + mu)``. Quantiles are computed in the original units
-        (the scaler is inverted on the mean before the quantile transform,
-        which is exact for the identity/none scaler and an approximation
-        under affine scaling of count data).
+        ``method``: ``"nb"`` (exact integer NB2 inverse CDF), ``"normal"``
+        (moment-matched Gaussian), or ``"auto"`` (nb for unscaled count
+        pipelines, normal otherwise). The quantile transform is applied to
+        the mean in original units, which is exact for the identity scaler
+        and commutes with the (monotone affine) inverse scaler otherwise.
         """
 
-        from scipy.stats import nbinom
+        from .utils.quantiles import predictive_quantiles, resolve_method
 
         rate, disp = self.forecast(
             history, series=series, horizon=horizon, return_dispersion=True
@@ -317,17 +317,16 @@ class Forecaster:
         else:
             index = columns = None
             mu = np.asarray(rate)
-        alpha = np.clip(np.asarray(disp), 1e-8, None)
-        mu_safe = np.clip(mu, 1e-8, None)
-        n = 1.0 / alpha
-        p = n / (n + mu_safe)
+        resolved = resolve_method(method, self.method)
+        values = predictive_quantiles(quantiles, mu, np.asarray(disp), resolved)
         out: Dict[float, Any] = {}
-        for q in quantiles:
-            values = nbinom.ppf(q, n, p).astype(np.float32)
-            if index is not None:
-                out[float(q)] = pd.DataFrame(values, index=index, columns=columns)
-            else:
-                out[float(q)] = values
+        for q, arr in values.items():
+            arr = arr.astype(np.float32)
+            out[q] = (
+                pd.DataFrame(arr, index=index, columns=columns)
+                if index is not None
+                else arr
+            )
         return out
 
     def _sub_scaler(self, columns: List[str]):

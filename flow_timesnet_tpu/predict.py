@@ -30,6 +30,12 @@ from .models.timesnet import TimesNetConfig
 from .utils import artifacts as artifacts_io
 from .utils import metadata as metadata_utils
 from .utils.logging import console
+from .utils.quantiles import (
+    parse_quantile_config,
+    predictive_quantiles,
+    quantile_label,
+    quantile_out_path,
+)
 from .utils.submission import (
     SubmissionRowMeta,
     build_submission_context,
@@ -390,6 +396,35 @@ def _predict_ensemble(runtime_dict: Dict[str, Any], ensemble_dirs: Sequence[str]
         f"[bold green]Saved {reduce}-of-{len(member_dirs)} ensemble submission:"
         f"[/bold green] {out_path}"
     )
+
+    # Quantile levels reduce the same way (mean = Vincentized quantile
+    # averaging; median = the component-wise median) over the per-member
+    # quantile files the single-model path just wrote.
+    q_levels, _ = parse_quantile_config(
+        runtime_dict.get("predict") or {},
+        (runtime_dict.get("preprocess") or {}).get("normalize", "none"),
+    )
+    for q in q_levels:
+        member_frames = [
+            pd.read_csv(
+                quantile_out_path(f"{out_path}.member{i}.csv", q),
+                encoding="utf-8-sig",
+            )
+            for i in range(len(member_dirs))
+        ]
+        q_stack = np.stack(
+            [f.iloc[:, 1:].to_numpy(dtype=np.float64) for f in member_frames]
+        )
+        q_out = member_frames[0].copy()
+        q_out.iloc[:, 1:] = (
+            np.median(q_stack, axis=0) if reduce == "median" else q_stack.mean(axis=0)
+        )
+        q_path = quantile_out_path(out_path, q)
+        q_out.to_csv(q_path, index=False, encoding="utf-8-sig")
+        console().print(
+            f"[bold green]Saved {reduce}-of-{len(member_dirs)} "
+            f"{quantile_label(q)} ensemble submission:[/bold green] {q_path}"
+        )
     return out_path
 
 
@@ -690,6 +725,13 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
     missing_global = sorted(set(ids) - set(test_ids_union))
     new_ids_sorted = sorted(set(new_ids))
 
+    # Predictive intervals (no reference analogue): predict.quantiles renders
+    # one extra submission per level from the NB2 head's (mu, alpha).
+    q_levels, q_method = parse_quantile_config(
+        cfg_used.get("predict") or {}, method
+    )
+    q_pred_lists: Dict[float, List[pd.DataFrame]] = {q: [] for q in q_levels}
+
     pred_list: List[pd.DataFrame] = []
     for batch in test_batches:
         X = batch.wide.values.astype(np.float32)
@@ -820,9 +862,9 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             row_valid=arrays["row_valid"],
         )
         if tn_cfg.mode == "direct":
-            rate_pred, _ = engine.forward(params, arrays["x"], **kw)
+            rate_pred, disp_pred = engine.forward(params, arrays["x"], **kw)
         else:
-            rate_pred, _ = engine.rollout(
+            rate_pred, disp_pred = engine.rollout(
                 params,
                 arrays["x"],
                 pred_len,
@@ -839,6 +881,27 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         pred_df = pd.DataFrame(P, columns=ids)
         pred_df["row_key"] = batch.pred_row_keys[:effective_steps]
         pred_list.append(pred_df.set_index("row_key"))
+
+        if q_levels:
+            disp_np = np.asarray(disp_pred)[:num_series, :, 0]
+            # Quantiles are computed in model space and pushed through the
+            # (monotone affine) inverse scaler — quantiles commute with
+            # monotone transforms, so this is exact for every scaler method.
+            qs = predictive_quantiles(
+                q_levels,
+                rate_np[:, :effective_steps],
+                disp_np[:, :effective_steps],
+                method=q_method,
+            )
+            for q, qv in qs.items():
+                Qn = np.zeros((effective_steps, len(ids)), np.float32)
+                Qn[:, gather] = np.asarray(qv, np.float32).T
+                Q = np.clip(
+                    inverse_transform(Qn, ids, scaler, method=method), 0.0, None
+                )
+                q_df = pd.DataFrame(Q, columns=ids)
+                q_df["row_key"] = batch.pred_row_keys[:effective_steps]
+                q_pred_lists[q].append(q_df.set_index("row_key"))
 
     preds = merge_forecasts(pred_list)
     submission_cfg = cfg_used.setdefault("submission", {})
@@ -871,6 +934,16 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         os.makedirs(out_dir, exist_ok=True)
     submission_df.to_csv(output_path, index=False, encoding="utf-8-sig")
     console().print(f"[bold green]Saved submission:[/bold green] {output_path}")
+
+    for q in q_levels:
+        q_preds = merge_forecasts(q_pred_lists[q])
+        q_df = writer.render(q_preds, context)
+        q_path = quantile_out_path(output_path, q)
+        q_df.to_csv(q_path, index=False, encoding="utf-8-sig")
+        console().print(
+            f"[bold green]Saved {quantile_label(q)} submission "
+            f"({q_method}):[/bold green] {q_path}"
+        )
     return output_path
 
 
