@@ -45,8 +45,17 @@ def _series_ids():
     return [f"{st}_{mn}" for st in stores for mn in menus]
 
 
-def simulate(seed: int = 7):
-    """Return (dates, ids, demand [T,N], observed [T,N] bool, expected [T,N])."""
+def simulate(seed: int = 7, return_params: bool = False):
+    """Return (dates, ids, demand [T,N], observed [T,N] bool, expected [T,N]).
+
+    With ``return_params`` a sixth element is appended: a dict of the latent
+    generative parameters ``{"mu" [T,N], "alpha" [N], "intermittent" [N],
+    "closed" [T,N]}`` — the exact per-cell predictive distribution (NB2 with
+    mean mu and dispersion alpha, zero-inflated at 0.55 for intermittent
+    series, degenerate at 0 on closure days), used by
+    ``tools/score_quantiles.py`` to compute the oracle quantile floor. The
+    RNG stream is identical either way.
+    """
 
     rng = np.random.default_rng(seed)
     ids = _series_ids()
@@ -109,13 +118,23 @@ def simulate(seed: int = 7):
 
     # closures: whole store zero-days
     observed = np.ones((total_days, n), dtype=bool)
+    closed = np.zeros((total_days, n), dtype=bool)
     for s in range(N_STORES):
         closures = rng.integers(0, total_days, rng.integers(5, 15))
         for c in closures:
             demand[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
             expected[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
+            closed[c, s * N_MENUS : (s + 1) * N_MENUS] = True
     # missing rows (~2% of observations dropped from the long CSV)
     observed &= rng.random((total_days, n)) >= 0.02
+    if return_params:
+        params = {
+            "mu": mu,
+            "alpha": alpha,
+            "intermittent": intermittent,
+            "closed": closed,
+        }
+        return dates, ids, demand, observed, expected, params
     return dates, ids, demand, observed, expected
 
 
