@@ -26,6 +26,45 @@ def test_generator_is_deterministic():
     assert simulate(8)[2].sum() != d1[2].sum()
 
 
+def test_return_params_same_stream_and_oracle_quantiles():
+    """simulate(return_params=True) must not perturb the RNG stream, and the
+    oracle quantiles built from the params must respect the generative law."""
+
+    base = simulate(7)
+    with_params = simulate(7, return_params=True)
+    np.testing.assert_array_equal(base[2], with_params[2])  # demand identical
+    params = with_params[5]
+    assert set(params) == {"mu", "alpha", "intermittent", "closed"}
+    assert params["mu"].shape == base[2].shape
+    assert params["closed"].shape == base[2].shape
+    # closure days really are zero-demand
+    assert base[2][params["closed"]].max() == 0.0
+    # expected = mu scaled by (1 - zero-inflation) on intermittent, 0 on closed
+    expected = with_params[4]
+    inter = params["intermittent"]
+    open_cells = ~params["closed"]
+    np.testing.assert_allclose(
+        expected[:, ~inter][open_cells[:, ~inter]],
+        params["mu"][:, ~inter][open_cells[:, ~inter]],
+    )
+    np.testing.assert_allclose(
+        expected[:, inter][open_cells[:, inter]],
+        0.45 * params["mu"][:, inter][open_cells[:, inter]],
+    )
+
+    from score_quantiles import oracle_quantiles
+
+    oq, ids = oracle_quantiles(7, [0.1, 0.5, 0.9])
+    assert list(ids) == with_params[1]
+    assert (oq[0.1] <= oq[0.5]).all() and (oq[0.5] <= oq[0.9]).all()
+    # oracle coverage at q: P(y <= ppf(q)) >= q (NB discreteness over-covers)
+    from score_quantiles import _future_rows
+
+    y = base[2][_future_rows()]
+    for q in (0.1, 0.5, 0.9):
+        assert (y <= oq[q]).mean() >= q - 0.02  # sampling noise allowance
+
+
 def test_written_files_match_schema(tmp_path):
     out = str(tmp_path / "bench")
     write_benchmark(out, seed=7)
