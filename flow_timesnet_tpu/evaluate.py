@@ -145,6 +145,61 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
         f"smape={result['smape']:.6f} wsmape={result['wsmape']:.6f} "
         f"({result['windows']} windows over the last {holdout} rows)"
     )
+
+    # Interval calibration (no reference analogue): when
+    # ``evaluation.quantiles`` (or ``predict.quantiles``) is set, report the
+    # empirical coverage P(y <= q-hat) and mean pinball loss of the NB2
+    # head's quantiles over every masked holdout cell. Coverage is invariant
+    # under the (monotone) scaler; pinball is reported in model space.
+    from .utils.quantiles import parse_quantile_config, predictive_quantiles
+
+    eval_cfg = cfg_used.get("evaluation") or {}
+    q_cfg = eval_cfg if eval_cfg.get("quantiles") else (cfg_used.get("predict") or {})
+    q_levels, q_method = parse_quantile_config(q_cfg, fc.method)
+    if q_levels:
+        cov_num = {q: 0.0 for q in q_levels}
+        pin_num = {q: 0.0 for q in q_levels}
+        weight_sum = 0.0
+        for b in batcher:
+            dev = batch_to_device(b, floor=floor_for(b))
+            rate, disp = engine.forward(
+                fc.params,
+                dev["x"],
+                x_mark=dev.get("x_mark"),
+                static=dev.get("static"),
+                ids=dev.get("ids"),
+                floor=dev.get("floor"),
+                row_valid=dev.get("row_valid"),
+            )
+            mu = np.asarray(rate)[..., 0]  # [B, H]
+            alpha = np.asarray(disp)[..., 0]
+            y = b.y[..., 0]
+            w = b.mask[..., 0] * b.row_valid[:, None]
+            qs = predictive_quantiles(q_levels, mu, alpha, method=q_method)
+            weight_sum += float(w.sum())
+            for q, qv in qs.items():
+                d = y - qv
+                cov_num[q] += float((w * (y <= qv)).sum())
+                pin_num[q] += float(
+                    (w * np.maximum(q * d, (q - 1.0) * d)).sum()
+                )
+        denom = max(weight_sum, 1.0)
+        result["quantiles"] = {
+            str(q): {
+                "coverage": round(cov_num[q] / denom, 4),
+                "pinball": round(pin_num[q] / denom, 6),
+            }
+            for q in q_levels
+        }
+        result["quantile_method"] = q_method
+        cov_str = " ".join(
+            f"q{100 * q:g}: cov={result['quantiles'][str(q)]['coverage']:.3f} "
+            f"pinball={result['quantiles'][str(q)]['pinball']:.4f}"
+            for q in q_levels
+        )
+        console().print(
+            f"[bold green]Interval calibration ({q_method}):[/bold green] {cov_str}"
+        )
     out_path = cfg_used.get("evaluation", {}).get("out_path")
     if out_path:
         save_json(result, out_path)

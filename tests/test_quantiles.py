@@ -259,3 +259,24 @@ def test_ensemble_reduces_quantile_files(trained):
     np.testing.assert_allclose(
         ens.iloc[:, 1:].to_numpy(float), stacked.mean(axis=0), rtol=0, atol=1e-9
     )
+
+
+def test_evaluate_reports_interval_calibration(trained):
+    from flow_timesnet_tpu.evaluate import evaluate_once
+
+    tmp_path, train_csv, test_dir, dirs = trained
+    cfg = _base_cfg(train_csv, test_dir, dirs[0], tmp_path / "ev.csv")
+    cfg["evaluation"] = {"quantiles": [0.1, 0.5, 0.9]}
+    res = evaluate_once(PipelineConfig.from_mapping(cfg))
+    q = res["quantiles"]
+    assert set(q) == {"0.1", "0.5", "0.9"} and res["quantile_method"] == "nb"
+    covs = [q[k]["coverage"] for k in ("0.1", "0.5", "0.9")]
+    assert all(0.0 <= c <= 1.0 for c in covs)
+    assert covs[0] <= covs[1] <= covs[2]
+    assert covs[2] >= 0.5  # q90 must cover at least half the cells
+    assert all(q[k]["pinball"] >= 0.0 for k in q)
+    # falls back to predict.quantiles when evaluation.quantiles is absent
+    cfg2 = _base_cfg(train_csv, test_dir, dirs[0], tmp_path / "ev2.csv")
+    cfg2["predict"] = {"quantiles": [0.5]}
+    res2 = evaluate_once(PipelineConfig.from_mapping(cfg2))
+    assert set(res2["quantiles"]) == {"0.5"}
