@@ -112,10 +112,22 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
 
     # Device-resident pass (one dispatch, one fetch — same machinery as
     # train_once's scanned validation); host iterator kept as the fallback.
+    # Honours the same staging knobs as train_once: ``train.input_pipeline``
+    # (host opts out entirely) and the ``train.device_stage_mb`` HBM budget.
     from .data.device_windows import epoch_index_plan
-    from .train import _stage_from_batcher
+    from .train import _stage_from_batcher, _staged_nbytes
 
-    staged = _stage_from_batcher(batcher, fc.sigma_vector)
+    pipeline_req = str(
+        cfg_used.get("train", {}).get("input_pipeline", "auto")
+    ).lower()
+    stage_budget = (
+        float(cfg_used.get("train", {}).get("device_stage_mb", 512) or 512) * 1e6
+    )
+    staged = None
+    if pipeline_req != "host" and (
+        pipeline_req == "device" or _staged_nbytes(batcher) <= stage_budget
+    ):
+        staged = _stage_from_batcher(batcher, fc.sigma_vector)
     if staged is not None:
         idx, rv = epoch_index_plan(
             staged.total,
@@ -162,15 +174,25 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
         weight_sum = 0.0
         for b in batcher:
             dev = batch_to_device(b, floor=floor_for(b))
-            rate, disp = engine.forward(
-                fc.params,
-                dev["x"],
+            kw = dict(
                 x_mark=dev.get("x_mark"),
                 static=dev.get("static"),
                 ids=dev.get("ids"),
                 floor=dev.get("floor"),
                 row_valid=dev.get("row_valid"),
             )
+            if mode == "direct":
+                rate, disp = engine.forward(fc.params, dev["x"], **kw)
+            else:
+                # recursive checkpoints emit one step per forward — roll out
+                # the full horizon so quantiles align with the [B, H] targets
+                rate, disp = engine.rollout(
+                    fc.params,
+                    dev["x"],
+                    int(b.y.shape[1]),
+                    y_mark=dev.get("y_mark"),
+                    **kw,
+                )
             mu = np.asarray(rate)[..., 0]  # [B, H]
             alpha = np.asarray(disp)[..., 0]
             y = b.y[..., 0]
@@ -200,7 +222,7 @@ def evaluate_once(cfg: PipelineConfig | Dict[str, Any]) -> Dict[str, float]:
         console().print(
             f"[bold green]Interval calibration ({q_method}):[/bold green] {cov_str}"
         )
-    out_path = cfg_used.get("evaluation", {}).get("out_path")
+    out_path = eval_cfg.get("out_path")
     if out_path:
         save_json(result, out_path)
         console().print(f"[green]Saved:[/green] {out_path}")

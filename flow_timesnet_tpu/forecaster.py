@@ -189,6 +189,27 @@ class Forecaster:
         ``[horizon, n]`` of forecast rates in original units (clipped >= 0).
         """
 
+        rate_np, disp_np, columns, future = self._forecast_raw(history, series, horizon)
+        rate_out = np.clip(
+            inverse_transform(rate_np, columns, self._sub_scaler(columns), self.method),
+            0.0,
+            None,
+        )
+        if future is not None:
+            rate_out = pd.DataFrame(rate_out, index=future, columns=columns)
+        if return_dispersion:
+            return rate_out, disp_np
+        return rate_out
+
+    def _forecast_raw(
+        self,
+        history: pd.DataFrame | np.ndarray,
+        series: Optional[Sequence[str]] = None,
+        horizon: Optional[int] = None,
+    ):
+        """Model-space forward: ``(rate [H, n], dispersion [H, n], columns,
+        future DatetimeIndex or None)`` — before any inverse transform/clip."""
+
         cfg = self.engine.cfg
         horizon = int(horizon or cfg.pred_len)
         if cfg.mode == "direct" and horizon > cfg.pred_len:
@@ -273,21 +294,14 @@ class Forecaster:
 
         rate_np = np.asarray(rate)[:, :, 0].T  # [horizon, n]
         disp_np = np.asarray(disp)[:, :, 0].T
-        rate_out = np.clip(
-            inverse_transform(rate_np, columns, self._sub_scaler(columns), self.method),
-            0.0,
-            None,
-        )
+        future = None
         if isinstance(history, pd.DataFrame) and index is not None and self.freq:
             future = pd.date_range(
                 index[-1] + pd.tseries.frequencies.to_offset(self.freq),
                 periods=horizon,
                 freq=self.freq,
             )
-            rate_out = pd.DataFrame(rate_out, index=future, columns=columns)
-        if return_dispersion:
-            return rate_out, disp_np
-        return rate_out
+        return rate_np, disp_np, columns, future
 
     def forecast_quantiles(
         self,
@@ -301,30 +315,32 @@ class Forecaster:
 
         ``method``: ``"nb"`` (exact integer NB2 inverse CDF), ``"normal"``
         (moment-matched Gaussian), or ``"auto"`` (nb for unscaled count
-        pipelines, normal otherwise). The quantile transform is applied to
-        the mean in original units, which is exact for the identity scaler
-        and commutes with the (monotone affine) inverse scaler otherwise.
+        pipelines, normal otherwise). Quantiles are computed in model space
+        — where the NB2 (mu, alpha) relation holds — then pushed through the
+        monotone inverse scaler and clipped at zero in original units, the
+        same order predict.py uses.
         """
 
         from .utils.quantiles import predictive_quantiles, resolve_method
 
-        rate, disp = self.forecast(
-            history, series=series, horizon=horizon, return_dispersion=True
+        rate_np, disp_np, columns, future = self._forecast_raw(
+            history, series, horizon
         )
-        if isinstance(rate, pd.DataFrame):
-            index, columns = rate.index, rate.columns
-            mu = rate.to_numpy()
-        else:
-            index = columns = None
-            mu = np.asarray(rate)
         resolved = resolve_method(method, self.method)
-        values = predictive_quantiles(quantiles, mu, np.asarray(disp), resolved)
+        values = predictive_quantiles(quantiles, rate_np, disp_np, resolved)
+        sub = self._sub_scaler(columns)
         out: Dict[float, Any] = {}
         for q, arr in values.items():
-            arr = arr.astype(np.float32)
+            arr = np.clip(
+                inverse_transform(
+                    np.asarray(arr, np.float32), columns, sub, self.method
+                ),
+                0.0,
+                None,
+            ).astype(np.float32)
             out[q] = (
-                pd.DataFrame(arr, index=index, columns=columns)
-                if index is not None
+                pd.DataFrame(arr, index=future, columns=columns)
+                if future is not None
                 else arr
             )
         return out

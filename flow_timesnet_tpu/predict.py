@@ -104,6 +104,7 @@ def _prepare_test_batches(
     ids: Sequence[str],
     id_position_map: Mapping[str, int],
     pred_len: int,
+    full_horizon_decode: bool = False,
 ) -> Tuple[
     List[TestBatch],
     Dict[str, SubmissionRowMeta],
@@ -210,7 +211,7 @@ def _prepare_test_batches(
                 history_index=history_index,
                 future_dates=future_index,
                 all_row_keys=row_keys,
-                pred_row_keys=row_keys[:pred_len],
+                pred_row_keys=list(row_keys) if full_horizon_decode else row_keys[:pred_len],
                 missing_ids=missing,
             )
         )
@@ -708,6 +709,12 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         ids=ids,
         id_position_map=id_position_map,
         pred_len=pred_len,
+        # Recursive decode is horizon-agnostic (lax.scan rollout), so cover the
+        # full requested horizon instead of zero-filling rows beyond pred_len
+        # (the reference truncates recursive forecasts to pred_len too —
+        # reference predict.py:189,942-945 — but a rolled-out forecast strictly
+        # dominates the default fill for every row the writer would pad).
+        full_horizon_decode=(tn_cfg.mode != "direct"),
     )
 
     encoding = cfg_used["data"].get("encoding", "utf-8")
@@ -772,6 +779,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         if num_series == 0:
             raise ValueError(f"Test series '{batch.path}' does not contain any matching ids")
 
+        decode_steps = len(batch.pred_row_keys)
         x_mark = y_mark = None
         if time_features_enabled and not disable_marks:
             recent_index = batch.history_index[-input_len:]
@@ -794,7 +802,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
                         "disabling temporal marks for this batch.[/yellow]"
                     )
                 else:
-                    combined = recent_index.append(batch.future_dates[:pred_len])
+                    combined = recent_index.append(batch.future_dates[:decode_steps])
                     marks = build_time_features(combined, active_tf)
                     if marks.shape[1] != meta_dim:
                         console().print(
@@ -806,7 +814,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
                             marks[:input_len][None], (num_series, input_len, meta_dim)
                         ).copy()
                         y_mark = np.broadcast_to(
-                            marks[input_len:][None], (num_series, pred_len, meta_dim)
+                            marks[input_len:][None], (num_series, decode_steps, meta_dim)
                         ).copy()
         elif time_features_enabled and disable_marks:
             console().print(
@@ -867,7 +875,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             rate_pred, disp_pred = engine.rollout(
                 params,
                 arrays["x"],
-                pred_len,
+                decode_steps,
                 y_mark=arrays["y_mark"],
                 **kw,
             )

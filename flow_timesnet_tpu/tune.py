@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import time
 from typing import Any, Dict, Mapping
 
 from .config import PipelineConfig, load_yaml, save_yaml
@@ -92,18 +93,35 @@ def tune(
         cfg_dict = base_cfg.to_dict()
         for path, value in params.items():
             _set_dotted(cfg_dict, path, value)
+        # Trials share one artifacts dir; never let trial N resume from the
+        # train_state.msgpack trial N-1 left behind (shape crashes or silent
+        # weight/epoch-counter contamination — the sampler would observe
+        # garbage objectives).
+        cfg_dict.setdefault("train", {})["resume"] = False
         trial_cfg = PipelineConfig.from_mapping(cfg_dict)
         best_nll, info = train_once(trial_cfg)
         if objective_key in ("val_smape", "smape"):
             return float(info["metrics"]["smape"])
         return float(best_nll)
 
+    # ``tuning.timeout_min``: wall-clock cap on the whole study (reference
+    # cli.py:70-72,85) — honoured by every sampler branch.
+    timeout_min = tuning_cfg.get("timeout_min")
+    timeout_s = float(timeout_min) * 60.0 if timeout_min is not None else None
+    t_start = time.monotonic()
+
+    def _timed_out() -> bool:
+        return timeout_s is not None and (time.monotonic() - t_start) >= timeout_s
+
     results: Dict[str, Any]
     if HAS_OPTUNA:
-        sampler_name = str(tuning_cfg.get("sampler", "tpe"))
-        sampler = optuna.samplers.TPESampler(
-            seed=seed, multivariate="multivariate" in sampler_name
-        )
+        sampler_name = str(tuning_cfg.get("sampler", "tpe")).lower()
+        if sampler_name.startswith("random"):
+            sampler = optuna.samplers.RandomSampler(seed=seed)
+        else:
+            sampler = optuna.samplers.TPESampler(
+                seed=seed, multivariate="multivariate" in sampler_name
+            )
         pruner = (
             optuna.pruners.MedianPruner()
             if tuning_cfg.get("pruner", "median") == "median"
@@ -113,19 +131,28 @@ def tune(
 
         def objective(trial):
             params = {path: _suggest_optuna(trial, path, spec) for path, spec in space.items()}
-            return run_with(params)
+            value = run_with(params)
+            # single end-of-training report, as the reference does
+            # (cli.py:79-81) — lets MedianPruner compare across trials
+            trial.report(value, step=1)
+            if trial.should_prune():
+                raise optuna.TrialPruned()
+            return value
 
-        study.optimize(objective, n_trials=trials)
+        study.optimize(objective, n_trials=trials, timeout=timeout_s)
         best_params = dict(study.best_params)
         best_value = float(study.best_value)
     else:
         sampler_name = str(tuning_cfg.get("sampler", "tpe")).lower()
-        if sampler_name == "random":
+        if sampler_name.startswith("random"):
             console().print("[yellow]built-in seeded random search.[/yellow]")
             rng = random.Random(seed)
             best_params = {}
             best_value = float("inf")
             for i in range(trials):
+                if _timed_out():
+                    console().print("[yellow]tuning.timeout_min reached; stopping.[/yellow]")
+                    break
                 params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
                 value = run_with(params)
                 console().print(
@@ -149,6 +176,9 @@ def tune(
             best_params = {}
             best_value = float("inf")
             for i in range(trials):
+                if _timed_out():
+                    console().print("[yellow]tuning.timeout_min reached; stopping.[/yellow]")
+                    break
                 params = sampler.suggest()
                 value = run_with(params)
                 sampler.observe(value, params)

@@ -117,11 +117,18 @@ def nb2_ppf(q: float, mu: np.ndarray, alpha: np.ndarray) -> np.ndarray:
 
 
 def nb2_normal_ppf(q: float, mu: np.ndarray, alpha: np.ndarray) -> np.ndarray:
-    """Moment-matched Gaussian quantile of NB2 (continuous, clipped >= 0)."""
+    """Moment-matched Gaussian quantile of NB2 (continuous, unclipped).
+
+    No zero-clip here: this method is selected for *normalised* pipelines,
+    where model space is centered and a low quantile is legitimately
+    negative — clipping in model space would collapse lower quantiles to the
+    series mean after the inverse transform. Callers clip in final units
+    after inverse-transforming (predict.py does).
+    """
 
     mu, alpha, _, _ = _nb2_params(mu, alpha)
     sd = np.sqrt(mu + alpha * mu**2)
-    return np.clip(mu + normal_ppf(q) * sd, 0.0, None)
+    return mu + normal_ppf(q) * sd
 
 
 def predictive_quantiles(

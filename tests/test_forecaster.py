@@ -146,3 +146,30 @@ def test_forecast_quantiles_monotone(artifacts):
     # the median should track the mean forecast to within the count scale
     mean = fc.forecast(history).to_numpy()
     assert np.all(np.abs(q50 - mean) <= np.maximum(3.0, mean))
+
+
+def test_forecast_quantiles_zscore_spread(artifacts):
+    """Quantiles must be computed in model space, then inverse-transformed.
+
+    Under a zscore scaler the NB2 variance relation Var = mu + alpha*mu^2
+    holds for the *model-space* mean; pairing the original-units mean with
+    the model-space dispersion (the old serving-path bug) yields a completely
+    different spread. Oracle: q90 - q50 == std_series * z_0.9 * sd_model.
+    """
+
+    from flow_timesnet_tpu.data.pivot import scaler_arrays
+    from flow_timesnet_tpu.utils.quantiles import normal_ppf
+
+    art_dir, history = artifacts
+    fc = Forecaster.from_artifacts(str(art_dir))
+    assert fc.method == "zscore"
+    qs = fc.forecast_quantiles(history, quantiles=(0.5, 0.9), method="normal")
+    mu_z, alpha, columns, _ = fc._forecast_raw(history)
+    mu_c = np.clip(mu_z, 1e-8, None)
+    sd_z = np.sqrt(mu_c + alpha * mu_c**2)
+    _, scale = scaler_arrays(list(columns), fc.scaler, fc.method)
+    expected = normal_ppf(0.9) * sd_z * scale[None, :]
+    got = qs[0.9].to_numpy() - qs[0.5].to_numpy()
+    m = qs[0.5].to_numpy() > 0  # rows where neither side hit the final clip
+    assert m.any()
+    np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)

@@ -93,6 +93,67 @@ def test_horizon_beyond_pred_len_fills_defaults(tmp_path):
     assert np.all(vals[3:] == -1.0)
 
 
+def test_recursive_mode_decodes_full_horizon(tmp_path):
+    """horizon=6 with pred_len=3 in recursive mode: ALL rows carry forecasts.
+
+    The scan rollout is horizon-agnostic, so unlike direct mode (which must
+    zero-fill rows beyond pred_len — reference predict.py:189) the recursive
+    decoder covers the full requested horizon.
+    """
+
+    rng = np.random.default_rng(0)
+    T = 40
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(
+            np.round(4 + 2 * np.sin(2 * math.pi * np.arange(T) / 7) + rng.normal(0, 0.3, T)), 0
+        )
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir)
+    tdates = pd.date_range(dates[-1] + pd.Timedelta(days=1), periods=15, freq="D")
+    trows = []
+    for j in range(2):
+        for d in tdates:
+            trows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": 3.0})
+    pd.DataFrame(trows).to_csv(test_dir / "TEST_00.csv", index=False)
+
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "test_dir": str(test_dir),
+            "date_col": "date", "id_col": "id", "target_col": "target",
+            "horizon": 6, "time_features": {"enabled": False},
+        },
+        "preprocess": {"normalize": "none", "clip_negative": True},
+        "window": {"input_len": 12, "pred_len": 3},
+        "model": {
+            "mode": "recursive", "input_len": 12, "pred_len": 3, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+        },
+        "train": {
+            "device": "cpu", "epochs": 1, "batch_size": 8, "lr": 1e-3,
+            "lr_warmup_steps": 0,
+            "val": {"strategy": "holdout", "holdout_days": 16},
+        },
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "submission": {"out_path": str(tmp_path / "sub.csv"), "format": "row_key",
+                       "default_fill_value": -1.0},
+        "tuning": {"seed": 1},
+    }
+    train_once(PipelineConfig.from_mapping(cfg))
+    out = predict_once(PipelineConfig.from_mapping(cfg))
+    sub = pd.read_csv(out)
+    assert len(sub) == 6
+    vals = sub.iloc[:, 1:].to_numpy(dtype=float)
+    # every row is a rolled-out forecast; the -1 default fill appears nowhere
+    assert np.all(vals >= 0)
+
+
 def test_static_file_artifact_override(tmp_path):
     """artifacts.static_file wins over scaler metadata, with id alignment."""
 

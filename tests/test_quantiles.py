@@ -94,8 +94,10 @@ def test_normal_ppf_and_moment_matched_quantile():
     sd = math.sqrt(4.0 + 0.25 * 16.0)
     got = nb2_normal_ppf(0.9, mu, alpha)[0]
     assert abs(got - (4.0 + normal_ppf(0.9) * sd)) < 1e-9
-    # clipped at zero for extreme low quantiles
-    assert nb2_normal_ppf(0.001, np.asarray([0.1]), np.asarray([5.0]))[0] == 0.0
+    # NOT clipped at zero: model space is centered for normalised pipelines,
+    # so low quantiles must stay negative here (callers clip in final units
+    # after the inverse transform)
+    assert nb2_normal_ppf(0.001, np.asarray([0.1]), np.asarray([5.0]))[0] < 0.0
 
 
 def test_quantile_levels_monotone():

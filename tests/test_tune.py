@@ -81,6 +81,13 @@ def test_optuna_branch_with_mock(tmp_path, monkeypatch):
         def __init__(self, rng):
             self.rng = rng
             self.params = {}
+            self.reported = {}
+
+        def report(self, value, step):
+            self.reported[step] = value
+
+        def should_prune(self):
+            return False
 
         def suggest_categorical(self, name, choices):
             v = self.rng.choice(list(choices))
@@ -104,19 +111,28 @@ def test_optuna_branch_with_mock(tmp_path, monkeypatch):
             self.best_value = None
             self.best_params = {}
 
-        def optimize(self, objective, n_trials):
+        def optimize(self, objective, n_trials, timeout=None):
             rng = np.random.default_rng(0)
+            self.trials = []
             for _ in range(n_trials):
                 trial = FakeTrial(rng)
                 value = objective(trial)
+                self.trials.append(trial)
                 if self.best_value is None or value < self.best_value:
                     self.best_value = value
                     self.best_params = dict(trial.params)
 
     class FakeOptuna:
+        class TrialPruned(Exception):
+            pass
+
         class samplers:
             @staticmethod
             def TPESampler(seed=None, multivariate=False):
+                return None
+
+            @staticmethod
+            def RandomSampler(seed=None):
                 return None
 
         class pruners:
@@ -128,9 +144,12 @@ def test_optuna_branch_with_mock(tmp_path, monkeypatch):
             def NopPruner():
                 return None
 
-        @staticmethod
-        def create_study(direction, sampler, pruner):
-            return FakeStudy()
+        last_study = None
+
+        @classmethod
+        def create_study(cls, direction, sampler, pruner):
+            cls.last_study = FakeStudy()
+            return cls.last_study
 
     monkeypatch.setattr(tune_mod, "optuna", FakeOptuna)
     monkeypatch.setattr(tune_mod, "HAS_OPTUNA", True)
@@ -171,6 +190,8 @@ def test_optuna_branch_with_mock(tmp_path, monkeypatch):
                            out_dir=str(tmp_path / "artifacts"))
     assert np.isfinite(result["best_value"])
     assert set(result["best_params"]) == {"train.lr", "train.batch_size"}
+    # each trial reported its end-of-training value once (reference parity)
+    assert all(list(t.reported) == [1] for t in FakeOptuna.last_study.trials)
 
 
 def test_tpe_sampler_beats_random_on_synthetic_objective():
