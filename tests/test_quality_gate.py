@@ -59,6 +59,13 @@ def test_fixed_seed_val_nll_band(subset_dir, tmp_path):
             f"data.test_dir={subset_dir}/test",
             f"data.sample_submission={subset_dir}/sample_submission.csv",
             "train.device=cpu",
+            # pin the hyperparameters the recorded gate value was measured
+            # with — the gate guards the *code*, not the shipped recipe, so
+            # recipe retunes (HPO) must not shift it
+            "train.lr=3.0e-4",
+            "model.dropout=0.1",
+            "train.ema_decay=0",
+            "train.selection_metric=nll",
             "train.epochs=2",
             "train.batch_size=128",
             "train.lr_warmup_steps=20",
