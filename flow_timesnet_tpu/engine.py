@@ -523,12 +523,12 @@ class Engine:
         rate = rate[:, : y.shape[1], :]
         dispersion = dispersion[:, : y.shape[1], :]
         base = _base_mask(y, batch["mask"], batch.get("row_valid"), self.use_loss_masking)
-        if not self.use_loss_masking and batch.get("row_valid") is None:
-            base = jnp.ones_like(y, dtype=bool)
         nbm = negative_binomial_mask(y, rate, dispersion, base)
         nb_loss = negative_binomial_nll(y, rate, dispersion, nbm)
-        mask_total = nbm.astype(jnp.float32).sum()
-        denom = jnp.where(mask_total > 0.0, mask_total, float(np.prod(y.shape)))
+        # an all-masked batch contributes (0, 0) — a fabricated full-size
+        # denominator would deflate the streamed aggregate; the final
+        # num/den division already guards den > 0
+        denom = nbm.astype(jnp.float32).sum()
         maskf = nbm.astype(y.dtype)
         y_eval = y * maskf
         rate_eval = rate * maskf
@@ -584,6 +584,37 @@ class Engine:
             "series_sums": np.asarray(ws_sums, np.float32),
             "series_cnts": np.asarray(ws_cnts, np.float32),
         }
+
+
+def batch_to_host(batch, floor=None) -> Dict[str, Any]:
+    """WindowBatch -> dict of HOST numpy arrays (None-preserving).
+
+    For mesh runs: hand this straight to ``shard_batch`` so the batch pays
+    ONE sharded H2D transfer — routing through :func:`batch_to_device` first
+    would upload unsharded, sync a D2H copy back, and upload again. Dtypes
+    match what ``jnp.asarray`` would produce under disabled x64 (f32/i32).
+    """
+
+    def f32(a):
+        return None if a is None else np.asarray(a, np.float32)
+
+    out = {
+        "x": f32(batch.x),
+        "y": f32(batch.y),
+        "mask": f32(batch.mask),
+        "row_valid": f32(batch.row_valid),
+        "x_mark": f32(batch.x_mark),
+        "y_mark": f32(batch.y_mark),
+        "static": f32(batch.static),
+        "ids": (
+            np.asarray(batch.series_ids, np.int32)
+            if batch.series_ids is not None
+            else None
+        ),
+    }
+    if floor is not None:
+        out["floor"] = f32(floor)
+    return out
 
 
 def batch_to_device(batch, floor=None) -> Dict[str, Any]:

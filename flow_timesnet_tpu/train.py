@@ -38,7 +38,7 @@ from .data.device_windows import epoch_index_plan, stage_windows
 from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
 from .data.windows import Prefetcher, build_batcher, pad_batch_rows
-from .engine import Engine, batch_to_device
+from .engine import Engine, batch_to_device, batch_to_host
 from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
 from .parallel.mesh import (
@@ -289,6 +289,14 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
         return _train_once_impl(cfg)
     finally:
         jax.config.update("jax_debug_nans", prev_debug_nans)
+        # a mid-epoch exception (e.g. the finite-loss guard) must not leave
+        # the profiler trace running for the rest of the process (HPO loops
+        # call train_once repeatedly); stop_trace raises when no trace is
+        # active, which is the normal case
+        try:
+            jax.profiler.stop_trace()
+        except Exception:  # noqa: BLE001 - no public "is tracing" probe
+            pass
 
 
 def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
@@ -411,16 +419,20 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         folds = int(val_cfg.get("rolling_folds") or 1)
         step_days = int(val_cfg.get("rolling_step_days") or 1)
         val_len = int(val_cfg["holdout_days"])
-        fold_iter = make_rolling_slices(wide, folds, step_days, val_len)
-        try:
-            first_tr, _ = next(fold_iter)
-        except StopIteration:
+        fold_slices = list(make_rolling_slices(wide, folds, step_days, val_len))
+        if not fold_slices:
             raise ValueError("No folds produced; check rolling validation configuration")
         if norm_method == "none":
             scaler = None
             wide_norm = wide.copy()
         else:
-            scaler, _ = fit_series_scaler(first_tr, norm_method, norm_per_series, eps)
+            # Leak-free fit: the LAST fold's train slice ends before every
+            # fold's validation window. (The reference fits on the FIRST
+            # fold's train — reference train.py:874-884 — whose rows include
+            # later folds' validation days whenever step_days < holdout_days,
+            # leaking their statistics into the scaler.)
+            fit_tr = fold_slices[-1][0]
+            scaler, _ = fit_series_scaler(fit_tr, norm_method, norm_per_series, eps)
             wide_norm = transform_dataframe(wide, ids, scaler, norm_method)
         for (tr_df, va_df), (tr_m, va_m) in zip(
             make_rolling_slices(wide_norm, folds, step_days, val_len),
@@ -641,12 +653,16 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         )
 
     def to_device(batch):
-        if mesh is not None and batch.x.shape[0] < dp_batch_rows:
-            batch = pad_batch_rows(batch, dp_batch_rows)
-        dev = batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
         if mesh is not None:
-            dev = shard_batch(mesh, dev)
-        return dev
+            if batch.x.shape[0] < dp_batch_rows:
+                batch = pad_batch_rows(batch, dp_batch_rows)
+            # numpy -> sharded device_put directly: one H2D per batch (going
+            # through batch_to_device first would upload unsharded, block on
+            # a D2H readback inside shard_batch, and upload again)
+            return shard_batch(
+                mesh, batch_to_host(batch, floor=_floor_for_batch(batch, sigma_vector))
+            )
+        return batch_to_device(batch, floor=_floor_for_batch(batch, sigma_vector))
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(state.params))
     console().print(f"[bold]Parameters:[/bold] {n_params:,}")
 
@@ -752,6 +768,12 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
     pipeline_req = str(cfg["train"].get("input_pipeline", "auto")).lower()
     stage_budget = float(cfg["train"].get("device_stage_mb", 512) or 512) * 1e6
     staged_train = staged_val = None
+    if pipeline_req == "device" and accum_steps > 1:
+        console().print(
+            "[yellow]train.input_pipeline=device is incompatible with "
+            f"accumulation_steps={accum_steps}; falling back to the host "
+            "pipeline.[/yellow]"
+        )
     if pipeline_req != "host" and accum_steps == 1:
         fits = _staged_nbytes(dl_train) + _staged_nbytes(dl_val) <= stage_budget
         if pipeline_req == "device" or fits:

@@ -259,3 +259,47 @@ def test_resident_epoch_dp_matches_single_device():
         jax.tree_util.tree_leaves(jax.device_get(s_single.params)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_host_pipeline_dp_train_once_matches_single(tmp_path):
+    """End-to-end: train_once on the HOST pipeline under the mesh must match
+    the single-device trajectory (covers to_device's direct numpy->sharded
+    placement, which the engine-level tests bypass)."""
+
+    import pandas as pd
+
+    from flow_timesnet_tpu.config import PipelineConfig
+    from flow_timesnet_tpu.train import train_once
+
+    rng = np.random.default_rng(0)
+    T = 50
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(np.round(4 + rng.normal(0, 0.5, T)), 0)
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+
+    def run(dp):
+        cfg = {
+            "data": {"train_csv": str(train_csv), "date_col": "date", "id_col": "id",
+                     "target_col": "target", "time_features": {"enabled": False}},
+            "preprocess": {"normalize": "none", "clip_negative": True},
+            "window": {"input_len": 12, "pred_len": 3},
+            "model": {"mode": "direct", "input_len": 12, "pred_len": 3, "d_model": 8,
+                      "d_ff": 16, "n_layers": 1, "k_periods": 1,
+                      "min_period_threshold": 2, "kernel_set": [[3, 3]],
+                      "dropout": 0.0, "id_embed_dim": 2},
+            "train": {"device": "cpu", "epochs": 2, "batch_size": 16, "lr": 1e-3,
+                      "lr_warmup_steps": 0, "input_pipeline": "host",
+                      "data_parallel": dp,
+                      "val": {"strategy": "holdout", "holdout_days": 18}},
+            "artifacts": {"dir": str(tmp_path / f"artifacts_{dp}")},
+            "tuning": {"seed": 1},
+        }
+        best, info = train_once(PipelineConfig.from_mapping(cfg))
+        return best
+
+    np.testing.assert_allclose(run("off"), run("auto"), rtol=1e-5, atol=1e-6)

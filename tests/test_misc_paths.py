@@ -315,3 +315,78 @@ def test_ema_train_end_to_end_and_resume(short_history_setup, tmp_path):
     cfg2["artifacts"]["dir"] = str(tmp_path / "art_ema_accum")
     best_nll3, _ = train_once(PipelineConfig.from_mapping(cfg2))
     assert np.isfinite(best_nll3)
+
+
+def test_all_masked_eval_batch_contributes_nothing():
+    """A batch whose loss mask is entirely zero must add (0, 0) to the
+    streamed eval accumulators — not a fabricated full-size denominator that
+    deflates the aggregate NLL."""
+
+    cfg = TimesNetConfig(
+        input_len=16, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=1,
+        kernel_set=((3, 3),), dropout=0.0, mode="direct", min_period_threshold=2,
+        c_in=1, id_vocab=2, id_embed_dim=4,
+    )
+    engine = Engine(cfg, num_series=2, use_loss_masking=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16, 1)).astype(np.float32) + 3)
+    y = jnp.asarray(rng.poisson(3.0, (4, 4, 1)).astype(np.float32))
+    ids = jnp.zeros((4, 1), jnp.int32)
+    good = {"x": x, "y": y, "mask": jnp.ones_like(y), "x_mark": None,
+            "y_mark": None, "static": None, "ids": ids, "row_valid": jnp.ones(4)}
+    dead = dict(good, mask=jnp.zeros_like(y))
+    state = engine.init_state(jax.random.PRNGKey(0), good)
+    m_good = engine.evaluate(state.params, [good])
+    m_both = engine.evaluate(state.params, [good, dead])
+    assert float(m_both["nll"]) == pytest.approx(float(m_good["nll"]), rel=1e-6)
+    assert float(m_both["smape"]) == pytest.approx(float(m_good["smape"]), rel=1e-6)
+
+
+def test_rolling_cv_scaler_fits_on_last_fold_train(tmp_path, monkeypatch):
+    """The rolling-CV scaler must be fit on the LAST fold's train slice —
+    the only slice that precedes every fold's validation window. (The
+    reference fits on the first/longest fold's train, leaking later folds'
+    validation rows into the normalization statistics.)"""
+
+    import flow_timesnet_tpu.train as train_mod
+    from flow_timesnet_tpu.data.pivot import fit_series_scaler as real_fit
+
+    rng = np.random.default_rng(0)
+    T = 60
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(2):
+        vals = np.maximum(np.round(4 + rng.normal(0, 0.5, T)), 0)
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+
+    seen_lengths = []
+
+    def spy_fit(df, *args, **kwargs):
+        seen_lengths.append(len(df))
+        return real_fit(df, *args, **kwargs)
+
+    monkeypatch.setattr(train_mod, "fit_series_scaler", spy_fit)
+    cfg = {
+        "data": {"train_csv": str(train_csv), "date_col": "date", "id_col": "id",
+                 "target_col": "target", "time_features": {"enabled": False}},
+        "preprocess": {"normalize": "zscore", "normalize_per_series": True,
+                       "clip_negative": True},
+        "window": {"input_len": 10, "pred_len": 2},
+        "model": {"mode": "direct", "input_len": 10, "pred_len": 2, "d_model": 8,
+                  "d_ff": 16, "n_layers": 1, "k_periods": 1,
+                  "min_period_threshold": 2, "kernel_set": [[3, 3]],
+                  "dropout": 0.0, "id_embed_dim": 2},
+        "train": {"device": "cpu", "epochs": 1, "batch_size": 8, "lr": 1e-3,
+                  "lr_warmup_steps": 0,
+                  "val": {"strategy": "rolling", "rolling_folds": 2,
+                          "rolling_step_days": 7, "holdout_days": 14}},
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "tuning": {"seed": 1},
+    }
+    train_once(PipelineConfig.from_mapping(cfg))
+    # fold 0: val [46, 60), train len 46; fold 1: val [39, 53), train len 39.
+    # The scaler must see the 39-row slice, not the leaky 46-row one.
+    assert seen_lengths == [39]
