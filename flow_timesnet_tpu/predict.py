@@ -352,6 +352,16 @@ def _predict_ensemble(runtime_dict: Dict[str, Any], ensemble_dirs: Sequence[str]
         raise ValueError(
             f"predict.ensemble_reduce must be 'mean' or 'median', got {reduce!r}"
         )
+    member_model = str(
+        (runtime_dict.get("predict") or {}).get("ensemble_member_model", "member")
+    ).lower()
+    if member_model not in ("member", "runtime"):
+        raise ValueError(
+            "predict.ensemble_member_model must be 'member' or 'runtime', "
+            f"got {member_model!r}"
+        )
+
+    from .config import load_yaml
 
     out_path = _ensemble_out_path(runtime_dict)
     frames: List[pd.DataFrame] = []
@@ -359,6 +369,23 @@ def _predict_ensemble(runtime_dict: Dict[str, Any], ensemble_dirs: Sequence[str]
         member = copy.deepcopy(runtime_dict)
         member.setdefault("predict", {}).pop("ensemble_dirs", None)
         member["artifacts"] = dict(member.get("artifacts") or {}, dir=d)
+        if member_model == "member":
+            # Mixed-architecture ensembles: each member forwards through its
+            # OWN trained architecture. The runtime config always carries a
+            # fully-populated model section (dataclass defaults re-fill it),
+            # which would otherwise override the member's stored
+            # config_used.yaml in predict_once's merge and trip signature
+            # validation for every member whose capacity differs. Substituting
+            # the stored section makes the merge a no-op per member;
+            # ``predict.ensemble_member_model: runtime`` restores the
+            # override-wins behavior.
+            cfg_path = os.path.join(
+                d, member["artifacts"].get("config_file", "config_used.yaml")
+            )
+            if os.path.exists(cfg_path):
+                stored_model = (load_yaml(cfg_path) or {}).get("model")
+                if stored_model:
+                    member["model"] = stored_model
         member_path = f"{out_path}.member{i}.csv"
         member["submission"] = dict(
             member.get("submission") or {},

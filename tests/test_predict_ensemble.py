@@ -134,6 +134,52 @@ def test_ensemble_median_reduce(trained_members):
     )
 
 
+def test_ensemble_mixed_architecture_uses_member_config(trained_members):
+    """Members trained at different capacities ensemble cleanly.
+
+    The runtime config carries one model section; each member must forward
+    through its OWN stored architecture (predict.ensemble_member_model
+    defaults to 'member'), because submissions — not parameters — are what
+    get averaged.
+    """
+    tmp_path, train_csv, test_dir, member_dirs = trained_members
+    wide_art = tmp_path / "artifacts_wide"
+    cfg_wide = _base_cfg(
+        tmp_path, train_csv, test_dir, wide_art, tmp_path / "sub_wide.csv", 4
+    )
+    cfg_wide["model"]["d_model"] = 16
+    cfg_wide["model"]["d_ff"] = 32
+    train_once(PipelineConfig.from_mapping(cfg_wide))
+
+    out = tmp_path / "ens_mixed.csv"
+    # runtime config says d_model=8; the wide member must still load.
+    cfg = _base_cfg(tmp_path, train_csv, test_dir, member_dirs[0], out, 1)
+    cfg["predict"] = {"ensemble_dirs": [str(wide_art)]}
+    path = predict_once(PipelineConfig.from_mapping(cfg))
+    ens = pd.read_csv(path, encoding="utf-8-sig")
+    m_vals = np.stack(
+        [
+            pd.read_csv(f"{out}.member{i}.csv", encoding="utf-8-sig")
+            .iloc[:, 1:]
+            .to_numpy(float)
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(
+        ens.iloc[:, 1:].to_numpy(float), m_vals.mean(axis=0), rtol=0, atol=1e-9
+    )
+
+    # 'runtime' restores override-wins: the wide member now trips signature
+    # validation against the runtime d_model=8.
+    cfg_rt = _base_cfg(tmp_path, train_csv, test_dir, member_dirs[0], out, 1)
+    cfg_rt["predict"] = {
+        "ensemble_dirs": [str(wide_art)],
+        "ensemble_member_model": "runtime",
+    }
+    with pytest.raises(ValueError):
+        predict_once(PipelineConfig.from_mapping(cfg_rt))
+
+
 def test_ensemble_requires_second_member(trained_members):
     tmp_path, train_csv, test_dir, member_dirs = trained_members
     cfg = _base_cfg(
