@@ -265,7 +265,32 @@ class Engine:
                 "valid": np.asarray(values["period_valid"][0]),
                 "group_count": int(np.asarray(values["group_count"][0])),
             }
+            if "freq_indices" in values:  # freeze-periods snapshot needs bins
+                out[block_name]["freq_indices"] = np.asarray(values["freq_indices"][0])
         return out
+
+    @staticmethod
+    def frozen_spec_from_telemetry(telemetry: Dict[str, Any], n_layers: int):
+        """Telemetry dict -> hashable per-layer frozen-period spec.
+
+        Returns ``None`` when any layer's snapshot is missing (e.g. blocks
+        without freq_indices from an older engine).
+        """
+
+        layers = []
+        for i in range(n_layers):
+            info = telemetry.get(f"blocks_{i}")
+            if not info or "freq_indices" not in info:
+                return None
+            layers.append(
+                tuple(
+                    (int(p), int(f), bool(v))
+                    for p, f, v in zip(
+                        info["periods"], info["freq_indices"], info["valid"]
+                    )
+                )
+            )
+        return tuple(layers)
 
     # -- training ---------------------------------------------------------------
 

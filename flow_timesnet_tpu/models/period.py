@@ -163,6 +163,33 @@ def select_periods(
     )
 
 
+def amplitudes_at_bins(x: Array, bins: tuple) -> Array:
+    """Per-sample channel-median spectral amplitudes at STATIC rFFT bins.
+
+    The frozen-period fast path (``model.freeze_periods``) only needs the
+    amplitudes of K known bins for the candidate softmax weights, so instead
+    of the full rFFT it evaluates the DFT at those bins as one tiny
+    ``[L, 2K]`` matmul (MXU-shaped; exact same quantity as
+    ``|rfft(x)[bin]|`` up to f32 rounding), then takes the same channel
+    lower-median as :func:`select_periods`.
+
+    x: [B, L, C] -> [B, K] float32.
+    """
+
+    B, L, C = x.shape
+    k = jnp.asarray(bins, jnp.float32)  # [K]
+    t = jnp.arange(L, dtype=jnp.float32)  # [L]
+    ang = (-2.0 * math.pi / L) * (t[:, None] * k[None, :])  # [L, K]
+    basis = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=1)  # [L, 2K]
+    proj = jnp.einsum(
+        "blc,lk->bkc", x.astype(jnp.float32), basis,
+        preferred_element_type=jnp.float32,
+    )  # [B, 2K, C]
+    K = len(bins)
+    amp = jnp.sqrt(proj[:, :K, :] ** 2 + proj[:, K:, :] ** 2)  # [B, K, C]
+    return _lower_median(amp, axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Depth-scheduled knob parsing (config-level replacement for the reference's
 # TIMES_PERIOD_MAX_UNIQ / TIMES_PERIOD_BINNING env schedules,

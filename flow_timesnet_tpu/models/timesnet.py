@@ -105,6 +105,13 @@ class TimesNetConfig:
     # cycles on daily retail data). Longer candidates are clamped to the cap
     # exactly like the reference clamps to pmax.
     period_cap: Optional[int] = None
+    # Trace-time period specialization (``train.freeze_periods``): per-layer
+    # tuples of (canonical_period, freq_bin, valid) slot triples snapshotted
+    # from telemetry after warmup. When set, each TimesBlock runs the dense
+    # exact-extent fold path (see models/timesblock.py) instead of the
+    # dynamic selector + masked tap conv. Parameters are identical either
+    # way, so the trainer can swap mid-run.
+    frozen_periods: object = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("direct", "recursive"):
@@ -266,7 +273,18 @@ class TimesNet(nn.Module):
         layer_norm = LayerNorm32(cfg.d_model, name="layer_norm")
         residual_dropout = nn.Dropout(cfg.dropout)
         p_cap = min(pmax, max(1, L - 1))
+        frozen_spec = None
+        if cfg.frozen_periods is not None:
+            frozen_spec = tuple(
+                tuple(tuple(slot) for slot in layer) for layer in cfg.frozen_periods
+            )
+            if len(frozen_spec) != cfg.n_layers:
+                raise ValueError(
+                    "frozen_periods must carry one slot tuple per layer "
+                    f"(got {len(frozen_spec)} for n_layers={cfg.n_layers})"
+                )
         for i in range(cfg.n_layers):
+            frozen_i = frozen_spec[i] if frozen_spec is not None else None
             block = TimesBlock(
                 d_model=cfg.d_model,
                 d_ff=cfg.hidden_ff,
@@ -282,15 +300,23 @@ class TimesNet(nn.Module):
                 conv_dtype=cfg.compute_dtype,
                 use_pallas=cfg.use_pallas,
                 period_buckets=_hashable_buckets(cfg.period_buckets),
+                frozen=frozen_i,
                 name=f"blocks_{i}",
             )
 
-            def run_block(mdl, feat, rv):
+            def run_block(mdl, feat, rv, _frozen=frozen_i):
+                # frozen mode skips the live FFT selector entirely — the
+                # block re-derives softmax weights from static-bin amplitudes
+                sel = (
+                    None
+                    if _frozen is not None
+                    else select_periods(
+                        feat, cfg.k_periods, pmax, min_thresh, row_weight=rv
+                    )
+                )
                 return mdl(
                     feat,
-                    select_periods(
-                        feat, cfg.k_periods, pmax, min_thresh, row_weight=rv
-                    ),
+                    sel,
                     deterministic=deterministic,
                     row_weight=rv,
                 )

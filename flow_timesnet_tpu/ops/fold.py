@@ -359,6 +359,76 @@ def tap_conv(
     )
 
 
+class DenseFoldGeometry(NamedTuple):
+    """Static fold geometry for ONE trace-time-constant period.
+
+    Used by the frozen-period fast path (``model.freeze_periods``): when the
+    selected periods are known constants, the fold is a plain reshape to the
+    exact ``[cycles, period]`` grid and the conv runs dense and mask-free at
+    the exact extent ``total = L + (-L) % p`` — no worst-case ``Lp = L + cap``
+    padding, no mask multiplies, no dynamic slices. Same math as the masked
+    tap path whenever the live selection equals the frozen one (the masked
+    path IS Conv2d-with-zero-padding over this very grid; see the module
+    docstring identity).
+    """
+
+    period: int
+    cycles: int
+    total: int
+    L: int
+
+
+def make_dense_geometry(period: int, L: int) -> DenseFoldGeometry:
+    p = max(1, int(period))
+    total = L + (-L) % p
+    return DenseFoldGeometry(period=p, cycles=total // p, total=total, L=int(L))
+
+
+def dense_fold_conv(
+    h: Array,
+    geom: DenseFoldGeometry,
+    kernel: Array,
+    bias: Array,
+    kh: int,
+    kw: int,
+) -> Array:
+    """Exact-extent fold Conv2d for one static period.
+
+    ``h``: [K=1, B, total, Cin] (the leading singleton keeps the call
+    signature interchangeable with :func:`tap_conv` inside the inception
+    stack). Reshapes to the [B, cycles, period, Cin] grid and runs one
+    ``lax.conv_general_dilated`` with SAME zero padding — identical to the
+    reference's fold + Conv2d (reference timesnet.py:955-1101) and to the
+    masked tap formulation, with zero overcompute. Output in float32
+    accumulation like :func:`tap_conv`.
+    """
+
+    K, B, total, Cin = h.shape
+    grid = h.reshape(K * B, geom.cycles, geom.period, Cin)
+    # conv runs in h.dtype (bf16 islands keep MXU-shaped inputs; the MXU
+    # still accumulates in f32 internally). NOTE: preferred_element_type
+    # cannot widen here — conv_general_dilated's transpose rule rejects a
+    # f32 cotangent against bf16 operands — so the f32 bias-add happens on
+    # the converted output instead (grad of the convert handles the cast).
+    out = lax.conv_general_dilated(
+        grid,
+        kernel.astype(h.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out.reshape(K, B, total, -1).astype(jnp.float32)
+    return out + bias.astype(out.dtype)
+
+
+def fold_conv(h: Array, geom, kernel: Array, bias: Array, kh: int, kw: int) -> Array:
+    """Geometry-dispatching fold conv: masked taps or dense static-period."""
+
+    if isinstance(geom, DenseFoldGeometry):
+        return dense_fold_conv(h, geom, kernel, bias, kh, kw)
+    return tap_conv(h, geom, kernel, bias, kh, kw)
+
+
 def pointwise_conv(h: Array, kernel: Array, bias: Array) -> Array:
     """1x1 conv == per-position channel matmul. kernel: [Cin, Cout].
 

@@ -26,6 +26,7 @@ import jax
 import numpy as np
 import pandas as pd
 
+from .build import timesnet_config_from_dict
 from .config import PipelineConfig, save_yaml
 from .data.pivot import (
     fit_series_scaler,
@@ -39,7 +40,6 @@ from .data.split import make_holdout_slices, make_rolling_slices
 from .data.static_features import compute_series_features
 from .data.windows import Prefetcher, build_batcher, pad_batch_rows
 from .engine import Engine, batch_to_device, batch_to_host
-from .models.timesnet import TimesNetConfig
 from .optim import LRController, resolve_warmup
 from .parallel.mesh import (
     device_snapshot,
@@ -541,71 +541,89 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
     d_ff = int(model_cfg_raw.get("d_ff", 4 * d_model))
     model_cfg_raw["d_ff"] = d_ff
     static_dim = int(series_static_np.shape[1]) if series_static_np.size else 0
-    tn_cfg = TimesNetConfig(
-        input_len=input_len,
-        pred_len=pred_len,
-        d_model=d_model,
-        d_ff=d_ff,
-        n_layers=int(model_cfg_raw["n_layers"]),
-        k_periods=int(model_cfg_raw["k_periods"]),
-        kernel_set=tuple(tuple(k) for k in pipeline_cfg.model.kernel_set),
-        dropout=float(model_cfg_raw["dropout"]),
-        activation=str(model_cfg_raw["activation"]),
-        mode=mode,
-        bottleneck_ratio=float(model_cfg_raw.get("bottleneck_ratio", 1.0)),
-        min_period_threshold=int(model_cfg_raw.get("min_period_threshold", 1)),
-        use_checkpoint=bool(cfg["train"].get("use_checkpoint", False)),
-        use_embedding_norm=bool(model_cfg_raw.get("use_embedding_norm", True)),
-        embed_norm_mode=model_cfg_raw.get("embed_norm_mode"),
-        min_sigma=float(min_sigma_scalar),
-        id_embed_dim=int(model_cfg_raw.get("id_embed_dim", 32)),
-        static_proj_dim=pipeline_cfg.model.static_proj_dim,
-        static_layernorm=bool(model_cfg_raw.get("static_layernorm", True)),
-        use_zero_mean_context=bool(model_cfg_raw.get("use_zero_mean_context", False)),
-        context_rank=max(0, int(model_cfg_raw.get("context_rank", 0))),
-        context_scale=float(model_cfg_raw.get("context_scale", 1e-2)),
-        use_constant_context_bias=bool(model_cfg_raw.get("use_constant_context_bias", False)),
-        use_late_bias_head=bool(model_cfg_raw.get("use_late_bias_head", True)),
-        c_in=1,
+    # Shared builder (flow_timesnet_tpu/build.py): the single source of truth
+    # for YAML -> TimesNetConfig, also used by bench.py / __graft_entry__ so
+    # benchmark shapes can never drift from the product again (VERDICT r3 #2).
+    model_cfg_raw["kernel_set"] = [list(k) for k in pipeline_cfg.model.kernel_set]
+    model_cfg_raw["static_proj_dim"] = pipeline_cfg.model.static_proj_dim
+    tn_cfg = timesnet_config_from_dict(
+        cfg,
         static_dim=static_dim,
-        time_features=int(time_feature_dim),
+        time_feature_dim=int(time_feature_dim),
         id_vocab=max(1, len(ids)),
-        # env vars kept for reference compatibility (TIMES_PERIOD_* knobs,
-        # reference timesnet.py:320-325); config values take precedence
-        period_max_unique=(
-            model_cfg_raw.get("period_max_unique")
-            if model_cfg_raw.get("period_max_unique") is not None
-            else os.environ.get("TIMES_PERIOD_MAX_UNIQ")
-        ),
-        period_binning=(
-            model_cfg_raw.get("period_binning")
-            if model_cfg_raw.get("period_binning") is not None
-            else os.environ.get("TIMES_PERIOD_BINNING")
-        ),
-        compute_dtype=str(model_cfg_raw.get("compute_dtype", "float32")),
-        use_pallas=bool(model_cfg_raw.get("use_pallas", False)),
-        period_buckets=model_cfg_raw.get("period_buckets"),
-        period_cap=(
-            int(model_cfg_raw["period_cap"])
-            if model_cfg_raw.get("period_cap") is not None
-            else None
-        ),
+        min_sigma=float(min_sigma_scalar),
     )
 
     # Polyak/EMA weight averaging (`train.ema_decay`, default off — no
     # reference analogue): the averaged weights are what get evaluated,
     # selected and checkpointed; the raw weights keep training.
     ema_decay = float(cfg["train"].get("ema_decay", 0.0) or 0.0)
-    engine = Engine(
-        tn_cfg,
-        use_loss_masking=use_loss_masking,
-        accumulation_steps=int(cfg["train"].get("accumulation_steps", 1)),
-        grad_clip_norm=float(cfg["train"].get("grad_clip_norm", 0.0) or 0.0),
-        weight_decay=float(cfg["train"].get("weight_decay", 0.0)),
-        num_series=len(ids),
-        ema_decay=ema_decay,
-        donate=not debug_nans,
+
+    def make_engine(model_cfg):
+        return Engine(
+            model_cfg,
+            use_loss_masking=use_loss_masking,
+            accumulation_steps=int(cfg["train"].get("accumulation_steps", 1)),
+            grad_clip_norm=float(cfg["train"].get("grad_clip_norm", 0.0) or 0.0),
+            weight_decay=float(cfg["train"].get("weight_decay", 0.0)),
+            num_series=len(ids),
+            ema_decay=ema_decay,
+            donate=not debug_nans,
+        )
+
+    engine = make_engine(tn_cfg)
+    # Trace-time period specialization (``train.freeze_periods``): after
+    # ``train.freeze_after_epoch`` warmup epochs, snapshot the telemetry's
+    # selected periods as static constants and swap in an engine whose blocks
+    # run the dense exact-extent fold (models/timesblock.py::_frozen_forward).
+    # The param tree is identical, so state/optimizer carry over; the
+    # per-epoch telemetry probe keeps running on the DYNAMIC model, and a
+    # selection drift swaps the dynamic engine back in (math preserved).
+    dynamic_engine = engine
+    freeze_enabled = str(cfg["train"].get("freeze_periods", "off")).lower() in (
+        "1", "true", "yes", "on", "auto",
     )
+    freeze_after = max(1, int(cfg["train"].get("freeze_after_epoch", 1) or 1))
+    frozen_state = {"spec": None, "engine": None}
+
+    def maybe_freeze(ep, telemetry, current_engine):
+        nonlocal freeze_enabled
+        if not freeze_enabled:
+            return current_engine
+        spec_now = Engine.frozen_spec_from_telemetry(telemetry, tn_cfg.n_layers)
+        if spec_now is None:
+            return current_engine
+        if frozen_state["spec"] is None:
+            if ep <= freeze_after:
+                return current_engine
+            import dataclasses as _dc
+
+            frozen_state["spec"] = spec_now
+            frozen_state["engine"] = make_engine(
+                _dc.replace(tn_cfg, frozen_periods=spec_now)
+            )
+            cfg["train"]["frozen_periods_spec"] = [
+                [list(slot) for slot in layer] for layer in spec_now
+            ]
+            periods = sorted({p for layer in spec_now for p, _, v in layer if v})
+            console().print(
+                f"[bold green]freeze_periods:[/bold green] epoch {ep} freezes "
+                f"periods {periods} into static fold programs"
+            )
+            return frozen_state["engine"]
+        if spec_now != frozen_state["spec"]:
+            console().print(
+                "[yellow]freeze_periods: selection drifted from the frozen "
+                "snapshot; falling back to the dynamic path for the rest of "
+                "the run[/yellow]"
+            )
+            freeze_enabled = False
+            frozen_state["spec"] = None
+            frozen_state["engine"] = None
+            cfg["train"].pop("frozen_periods_spec", None)
+            cfg["train"]["freeze_periods_drift_epoch"] = int(ep)
+            return dynamic_engine
+        return frozen_state["engine"]
 
     # init from the first train batch's shapes
     init_iter = iter(dl_train)
@@ -645,6 +663,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
                 f"divide the mesh size {mesh_size}; table stays replicated[/yellow]"
             )
         state = shard_train_state(mesh, state, shard_tables=shard_tables)
+        cfg["train"]["shard_embedding_effective"] = bool(shard_tables)
         console().print(
             f"[bold green]Data parallel:[/bold green] batch {batch_size}"
             + (f" (padded to {dp_batch_rows})" if dp_batch_rows != batch_size else "")
@@ -712,6 +731,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             f"train.selection_metric must be 'nll' or 'smape', got {selection_metric!r}"
         )
     best_sel = float("inf")
+    epoch_throughputs: List[float] = []
     dropout_key = jax.random.fold_in(root_key, 1)
 
     # True mid-training resume (a capability the reference lacks — it keeps
@@ -857,10 +877,13 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             keys = jax.random.fold_in(dropout_key, ep)
             if mesh is not None:
                 keys = put_global(keys, replicated(mesh))
-            telemetry = engine.collect_period_telemetry_staged(
+            # probe always runs the DYNAMIC model (drift detection must see
+            # the live selection, not the frozen constants)
+            telemetry = dynamic_engine.collect_period_telemetry_staged(
                 state.params, staged_train, idx_np[0], rv_np[0]
             )
             _log_period_telemetry(telemetry, inferred_freq, ep)
+            engine = maybe_freeze(ep, telemetry, engine)
             state, ep_losses, ep_mask_true = engine.train_epoch_resident(
                 state, lr, keys, staged_train, put_plan(idx_np), put_plan(rv_np)
             )
@@ -910,8 +933,11 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
                 rng = jax.random.fold_in(jax.random.fold_in(dropout_key, ep), i)
                 dev_batch = to_device(batch)
                 if i == 0:
-                    telemetry = engine.collect_period_telemetry(state.params, dev_batch)
+                    telemetry = dynamic_engine.collect_period_telemetry(
+                        state.params, dev_batch
+                    )
                     _log_period_telemetry(telemetry, inferred_freq, ep)
+                    engine = maybe_freeze(ep, telemetry, engine)
                 if scan_steps > 1:
                     chunk.append(dev_batch)
                     chunk_keys.append(rng)
@@ -932,6 +958,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         epoch_time = time.perf_counter() - t0
         coverage = mask_true_total / mask_total if mask_total > 0 else 0.0
         throughput = (n_batches * batch_size) / max(epoch_time, 1e-9)
+        epoch_throughputs.append(float(throughput))
 
         if not np.isfinite(np.mean(losses)):
             raise FloatingPointError(
@@ -1108,7 +1135,8 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         "scaler": scaler_path,
         "schema": schema_path,
         "config": cfg_path,
-        "metrics": {"nll": best_nll, "smape": best_smape, "wsmape": best_wsmape},
+        "metrics": {"nll": best_nll, "smape": best_smape, "wsmape": best_wsmape,
+                    "epoch_windows_per_s": epoch_throughputs},
     }
 
 

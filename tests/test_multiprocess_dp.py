@@ -51,7 +51,8 @@ def test_two_process_dp_matches_single_process():
     for out in outs:
         m = re.search(
             r"RESULT pid=(\d) losses=([\d.,\-]+) digest=([\d.\-]+) "
-            r"eplosses=([\d.,\-]+) nll=([\d.\-]+) digest2=([\d.\-]+)",
+            r"eplosses=([\d.,\-]+) nll=([\d.\-]+) digest2=([\d.\-]+) "
+            r"hlosses=([\d.,\-]+)",
             out,
         )
         assert m, f"no RESULT line in:\n{out[-2000:]}"
@@ -61,6 +62,7 @@ def test_two_process_dp_matches_single_process():
             [float(v) for v in m.group(4).split(",")],
             float(m.group(5)),
             float(m.group(6)),
+            [float(v) for v in m.group(7).split(",")],
         )
     assert set(results) == {0, 1}
 
@@ -71,6 +73,10 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-6)
     assert results[0][3] == pytest.approx(results[1][3], rel=1e-6)
     assert results[0][4] == pytest.approx(results[1][4], rel=1e-6)
+    # hybrid (dcn, data) mesh: both processes agree, and the 2-D mesh
+    # reproduces the 1-D mesh's trajectory (row-order invariant batch mean)
+    np.testing.assert_allclose(results[0][5], results[1][5], rtol=1e-6)
+    np.testing.assert_allclose(results[0][5], results[0][0], rtol=1e-4, atol=1e-5)
 
     # single-process reference trajectory (same batches/plan, no mesh)
     from two_process_worker import (

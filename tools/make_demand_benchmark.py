@@ -39,13 +39,21 @@ TEST_HISTORY = 28
 HORIZON = 7
 
 
-def _series_ids():
-    stores = [f"매장{chr(ord('A') + s)}" for s in range(N_STORES)]  # 매장A..
-    menus = [f"메뉴{m + 1:02d}" for m in range(N_MENUS)]  # 메뉴01..
+def _series_ids(n_stores: int = N_STORES, n_menus: int = N_MENUS):
+    # store names stay unique beyond 26 stores (매장A.., then 매장A1.. blocks)
+    def store_name(s: int) -> str:
+        letter = chr(ord('A') + s % 26)
+        block = s // 26
+        return f"매장{letter}{block}" if block else f"매장{letter}"
+
+    stores = [store_name(s) for s in range(n_stores)]
+    menus = [f"메뉴{m + 1:02d}" for m in range(n_menus)]
     return [f"{st}_{mn}" for st in stores for mn in menus]
 
 
-def simulate(seed: int = 7, return_params: bool = False):
+def simulate(seed: int = 7, return_params: bool = False, *,
+             n_stores: int = N_STORES, n_menus: int = N_MENUS,
+             t_train: int = T_TRAIN):
     """Return (dates, ids, demand [T,N], observed [T,N] bool, expected [T,N]).
 
     With ``return_params`` a sixth element is appended: a dict of the latent
@@ -58,16 +66,16 @@ def simulate(seed: int = 7, return_params: bool = False):
     """
 
     rng = np.random.default_rng(seed)
-    ids = _series_ids()
+    ids = _series_ids(n_stores, n_menus)
     n = len(ids)
-    total_days = T_TRAIN + TEST_FILES * HORIZON + TEST_HISTORY
+    total_days = t_train + TEST_FILES * HORIZON + TEST_HISTORY
     dates = pd.date_range("2023-01-01", periods=total_days, freq="D")
     t = np.arange(total_days)
     dow = np.asarray(dates.dayofweek)
 
     # store-level weekly profiles: half weekend-heavy, half weekday-heavy
-    week_profiles = np.empty((N_STORES, 7))
-    for s in range(N_STORES):
+    week_profiles = np.empty((n_stores, 7))
+    for s in range(n_stores):
         if s % 2 == 0:
             prof = np.array([0.8, 0.8, 0.9, 1.0, 1.2, 1.6, 1.5])
         else:
@@ -75,7 +83,7 @@ def simulate(seed: int = 7, return_params: bool = False):
         week_profiles[s] = prof * rng.uniform(0.9, 1.1, 7)
 
     base = rng.lognormal(mean=2.0, sigma=0.9, size=n)  # menu popularity
-    store_scale = rng.lognormal(mean=0.0, sigma=0.4, size=N_STORES)
+    store_scale = rng.lognormal(mean=0.0, sigma=0.4, size=n_stores)
     trend = rng.normal(0.0, 0.0004, size=n)  # per-day multiplicative drift
     annual_amp = rng.uniform(0.05, 0.3, size=n)
     annual_phase = rng.uniform(0, 2 * math.pi, size=n)
@@ -84,7 +92,7 @@ def simulate(seed: int = 7, return_params: bool = False):
 
     mu = np.empty((total_days, n))
     for j, sid in enumerate(ids):
-        s = j // N_MENUS
+        s = j // n_menus
         weekly = week_profiles[s][dow]
         annual = 1.0 + annual_amp[j] * np.sin(
             2 * math.pi * t / 365.25 + annual_phase[j]
@@ -93,13 +101,13 @@ def simulate(seed: int = 7, return_params: bool = False):
         mu[:, j] = level * weekly * annual
 
     # promotions: per-store bursts multiplying demand for 1-3 days
-    for s in range(N_STORES):
+    for s in range(n_stores):
         n_promos = rng.integers(8, 20)
         starts = rng.integers(0, total_days - 3, n_promos)
         for st in starts:
             dur = int(rng.integers(1, 4))
             mult = rng.uniform(1.5, 3.0)
-            mu[st : st + dur, s * N_MENUS : (s + 1) * N_MENUS] *= mult
+            mu[st : st + dur, s * n_menus : (s + 1) * n_menus] *= mult
 
     # NB sampling via gamma-poisson mixture
     shape = 1.0 / alpha[None, :]
@@ -119,12 +127,12 @@ def simulate(seed: int = 7, return_params: bool = False):
     # closures: whole store zero-days
     observed = np.ones((total_days, n), dtype=bool)
     closed = np.zeros((total_days, n), dtype=bool)
-    for s in range(N_STORES):
+    for s in range(n_stores):
         closures = rng.integers(0, total_days, rng.integers(5, 15))
         for c in closures:
-            demand[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
-            expected[c, s * N_MENUS : (s + 1) * N_MENUS] = 0.0
-            closed[c, s * N_MENUS : (s + 1) * N_MENUS] = True
+            demand[c, s * n_menus : (s + 1) * n_menus] = 0.0
+            expected[c, s * n_menus : (s + 1) * n_menus] = 0.0
+            closed[c, s * n_menus : (s + 1) * n_menus] = True
     # missing rows (~2% of observations dropped from the long CSV)
     observed &= rng.random((total_days, n)) >= 0.02
     if return_params:
@@ -138,8 +146,11 @@ def simulate(seed: int = 7, return_params: bool = False):
     return dates, ids, demand, observed, expected
 
 
-def write_benchmark(outdir: str, seed: int = 7) -> None:
-    dates, ids, demand, observed, _ = simulate(seed)
+def write_benchmark(outdir: str, seed: int = 7, *, n_stores: int = N_STORES,
+                    n_menus: int = N_MENUS, t_train: int = T_TRAIN) -> None:
+    dates, ids, demand, observed, _ = simulate(
+        seed, n_stores=n_stores, n_menus=n_menus, t_train=t_train
+    )
     os.makedirs(os.path.join(outdir, "test"), exist_ok=True)
 
     def to_long(d0: int, d1: int) -> pd.DataFrame:
@@ -158,7 +169,7 @@ def write_benchmark(outdir: str, seed: int = 7) -> None:
         out = pd.concat(rows, ignore_index=True)
         return out.sort_values([DATE_COL, ID_COL], kind="stable").reset_index(drop=True)
 
-    to_long(0, T_TRAIN).to_csv(
+    to_long(0, t_train).to_csv(
         os.path.join(outdir, "train.csv"), index=False, encoding="utf-8-sig"
     )
 
@@ -166,7 +177,7 @@ def write_benchmark(outdir: str, seed: int = 7) -> None:
     # mirrors the bundled evaluation contract (predict 7 days beyond each)
     row_keys = []
     for i in range(TEST_FILES):
-        start = T_TRAIN + i * HORIZON
+        start = t_train + i * HORIZON
         end = start + TEST_HISTORY
         to_long(start, end).to_csv(
             os.path.join(outdir, "test", f"TEST_{i:02d}.csv"),
@@ -185,7 +196,7 @@ def write_benchmark(outdir: str, seed: int = 7) -> None:
         encoding="utf-8-sig",
     )
     print(
-        f"wrote {outdir}: train.csv ({T_TRAIN}d x {len(ids)} series), "
+        f"wrote {outdir}: train.csv ({t_train}d x {len(ids)} series), "
         f"{TEST_FILES} TEST files, sample_submission.csv"
     )
 
@@ -194,8 +205,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--seed", type=int, default=7)
+    # high-cardinality scaling knobs (BASELINE config #5: ~10k series via
+    # --stores 100 --menus 100; defaults reproduce the flagship dataset's
+    # exact RNG stream)
+    ap.add_argument("--stores", type=int, default=N_STORES)
+    ap.add_argument("--menus", type=int, default=N_MENUS)
+    ap.add_argument("--days", type=int, default=T_TRAIN)
     args = ap.parse_args()
-    write_benchmark(args.outdir, args.seed)
+    write_benchmark(args.outdir, args.seed, n_stores=args.stores,
+                    n_menus=args.menus, t_train=args.days)
 
 
 if __name__ == "__main__":
