@@ -282,14 +282,18 @@ class Engine:
             info = telemetry.get(f"blocks_{i}")
             if not info or "freq_indices" not in info:
                 return None
-            layers.append(
-                tuple(
-                    (int(p), int(f), bool(v))
-                    for p, f, v in zip(
-                        info["periods"], info["freq_indices"], info["valid"]
-                    )
+            slots = [
+                (int(p), int(f), bool(v))
+                for p, f, v in zip(
+                    info["periods"], info["freq_indices"], info["valid"]
                 )
-            )
+            ]
+            # canonical order (valid slots first, then sorted): softmax
+            # weights sum over slots, so slot order is math-irrelevant —
+            # sorting makes the drift comparison order-insensitive (top-k
+            # rank swaps between equal-amplitude candidates are not drift)
+            slots.sort(key=lambda s: (not s[2], s[0], s[1]))
+            layers.append(tuple(slots))
         return tuple(layers)
 
     # -- training ---------------------------------------------------------------

@@ -584,46 +584,55 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         "1", "true", "yes", "on", "auto",
     )
     freeze_after = max(1, int(cfg["train"].get("freeze_after_epoch", 1) or 1))
-    frozen_state = {"spec": None, "engine": None}
+    # Selections move while the features are still settling (measured at
+    # flagship: {7,27} for epochs 1-2, then {14,27} from epoch 3 on), so
+    # freezing is gated on the selection being STABLE across two consecutive
+    # probes, and a drift falls back for one epoch and re-freezes when
+    # stability returns. Each distinct spec costs one compile; the cap bounds
+    # churn on pathologically oscillating selections.
+    freeze_max = max(1, int(cfg["train"].get("freeze_max_recompiles", 3) or 3))
+    frozen_state = {"spec": None, "prev": None, "engines": {}}
 
     def maybe_freeze(ep, telemetry, current_engine):
-        nonlocal freeze_enabled
         if not freeze_enabled:
             return current_engine
         spec_now = Engine.frozen_spec_from_telemetry(telemetry, tn_cfg.n_layers)
         if spec_now is None:
             return current_engine
-        if frozen_state["spec"] is None:
-            if ep <= freeze_after:
+        prev = frozen_state["prev"]
+        frozen_state["prev"] = spec_now
+        if frozen_state["spec"] is not None:
+            if spec_now == frozen_state["spec"]:
                 return current_engine
-            import dataclasses as _dc
-
-            frozen_state["spec"] = spec_now
-            frozen_state["engine"] = make_engine(
-                _dc.replace(tn_cfg, frozen_periods=spec_now)
-            )
-            cfg["train"]["frozen_periods_spec"] = [
-                [list(slot) for slot in layer] for layer in spec_now
-            ]
-            periods = sorted({p for layer in spec_now for p, _, v in layer if v})
             console().print(
-                f"[bold green]freeze_periods:[/bold green] epoch {ep} freezes "
-                f"periods {periods} into static fold programs"
+                f"[yellow]freeze_periods: selection drifted at epoch {ep}; "
+                "running this epoch on the dynamic path (re-freezes when the "
+                "selection is stable again)[/yellow]"
             )
-            return frozen_state["engine"]
-        if spec_now != frozen_state["spec"]:
-            console().print(
-                "[yellow]freeze_periods: selection drifted from the frozen "
-                "snapshot; falling back to the dynamic path for the rest of "
-                "the run[/yellow]"
-            )
-            freeze_enabled = False
             frozen_state["spec"] = None
-            frozen_state["engine"] = None
             cfg["train"].pop("frozen_periods_spec", None)
             cfg["train"]["freeze_periods_drift_epoch"] = int(ep)
             return dynamic_engine
-        return frozen_state["engine"]
+        if ep <= freeze_after or spec_now != prev:
+            return current_engine
+        if spec_now not in frozen_state["engines"]:
+            if len(frozen_state["engines"]) >= freeze_max:
+                return current_engine
+            import dataclasses as _dc
+
+            frozen_state["engines"][spec_now] = make_engine(
+                _dc.replace(tn_cfg, frozen_periods=spec_now)
+            )
+        frozen_state["spec"] = spec_now
+        cfg["train"]["frozen_periods_spec"] = [
+            [list(slot) for slot in layer] for layer in spec_now
+        ]
+        periods = sorted({p for layer in spec_now for p, _, v in layer if v})
+        console().print(
+            f"[bold green]freeze_periods:[/bold green] epoch {ep} freezes "
+            f"periods {periods} into static fold programs"
+        )
+        return frozen_state["engines"][spec_now]
 
     # init from the first train batch's shapes
     init_iter = iter(dl_train)
@@ -830,6 +839,16 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         )
         val_idx = put_plan(val_idx_np)
         val_rv = put_plan(val_rv_np)
+        # FIXED telemetry probe batch (epoch-independent): probing the first
+        # batch of each epoch's shuffled plan made the freeze_periods drift
+        # check see batch-sampling noise as selection drift
+        probe_idx_np, probe_rv_np = epoch_index_plan(
+            staged_train.total,
+            batch_size,
+            dp_batch_rows if mesh is not None else None,
+            shuffle=False,
+            drop_last=True,
+        )
         console().print(
             "[bold green]Input pipeline:[/bold green] device-resident "
             f"({(_staged_nbytes(dl_train) + _staged_nbytes(dl_val)) / 1e6:.1f} MB staged, "
@@ -880,7 +899,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             # probe always runs the DYNAMIC model (drift detection must see
             # the live selection, not the frozen constants)
             telemetry = dynamic_engine.collect_period_telemetry_staged(
-                state.params, staged_train, idx_np[0], rv_np[0]
+                state.params, staged_train, probe_idx_np[0], probe_rv_np[0]
             )
             _log_period_telemetry(telemetry, inferred_freq, ep)
             engine = maybe_freeze(ep, telemetry, engine)

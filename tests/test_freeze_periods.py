@@ -122,7 +122,12 @@ def test_frozen_spec_helper_and_param_tree_identity():
         }
         for i, layer in enumerate(spec)
     }
-    assert Engine.frozen_spec_from_telemetry(telemetry, cfg.n_layers) == spec
+    # the helper canonicalizes slot order (valid first, then sorted) so the
+    # drift comparison ignores top-k rank swaps — compare as multisets
+    got = Engine.frozen_spec_from_telemetry(telemetry, cfg.n_layers)
+    assert tuple(tuple(sorted(l)) for l in got) == tuple(
+        tuple(sorted(l)) for l in spec
+    )
     assert Engine.frozen_spec_from_telemetry({}, cfg.n_layers) is None
 
     # the frozen model must create the IDENTICAL parameter tree (so the
