@@ -400,13 +400,20 @@ class Engine:
 
     # -- device-resident epoch (gather inside the program) ----------------------
 
-    def _train_epoch_resident_impl(self, state: TrainState, lr, rngs, staged, idx, row_valid):
-        """One whole epoch as a single lax.scan: per step, gather the window
-        batch from the staged fold arrays in HBM, then loss/grads/update.
+    def _train_epoch_resident_impl(
+        self, state: TrainState, lr, rngs, staged, idx, row_valid, step_offset
+    ):
+        """One whole epoch (or one chunk of it) as a single lax.scan: per
+        step, gather the window batch from the staged fold arrays in HBM,
+        then loss/grads/update.
 
         Replaces the host gather -> H2D -> dispatch chain entirely (VERDICT r2
         #1); the reference's analogue is the DataLoader worker/prefetch stack
         (``/root/reference/src/timesnet_forecast/train.py:218-227``).
+
+        ``step_offset`` is the chunk's first global step index within the
+        epoch, so per-step dropout keys derived from a single epoch key are
+        identical whether the epoch runs as one dispatch or several.
         """
 
         from .data.device_windows import gather_batch
@@ -415,7 +422,7 @@ class Engine:
             # a single epoch key: derive the per-step keys inside the program
             # (same fold_in values the host-side vmap produced)
             rngs = jax.vmap(lambda i: jax.random.fold_in(rngs, i))(
-                jnp.arange(idx.shape[0])
+                jnp.arange(idx.shape[0]) + step_offset
             )
 
         def body(carry, xs):
@@ -441,11 +448,14 @@ class Engine:
         )
         return final, losses, mask_true
 
-    def train_epoch_resident(self, state, lr, rngs, staged, idx, row_valid):
-        """Run one epoch's steps as one dispatch over device-resident data.
+    def train_epoch_resident(self, state, lr, rngs, staged, idx, row_valid, step_offset=0):
+        """Run one epoch's steps (or one chunk of them) as one dispatch over
+        device-resident data.
 
         ``rngs`` is [S] keys, ``idx``/``row_valid`` are [S, B] plans from
         :func:`~flow_timesnet_tpu.data.device_windows.epoch_index_plan`.
+        ``step_offset`` (chunked epochs) is the chunk's first global step
+        index, used only for in-program per-step key derivation.
         """
 
         if self.accum_steps != 1:
@@ -454,7 +464,9 @@ class Engine:
             self._train_epoch_resident = jax.jit(
                 self._train_epoch_resident_impl, donate_argnums=self._donate
             )
-        return self._train_epoch_resident(state, lr, rngs, staged, idx, row_valid)
+        return self._train_epoch_resident(
+            state, lr, rngs, staged, idx, row_valid, step_offset
+        )
 
     def gather_staged_batch(self, staged, flat_idx, row_valid, rng=None):
         """One-off device gather (init batch, period telemetry).
@@ -510,10 +522,29 @@ class Engine:
         totals, _ = jax.lax.scan(body, zeros, (idx, row_valid))
         return totals
 
-    def evaluate_resident(self, params, staged, idx, row_valid) -> Dict[str, Any]:
+    def evaluate_resident(
+        self, params, staged, idx, row_valid, max_dispatch_steps: int = 0
+    ) -> Dict[str, Any]:
         if not hasattr(self, "_evaluate_resident"):
             self._evaluate_resident = jax.jit(self._evaluate_resident_impl)
-        out = jax.device_get(self._evaluate_resident(params, staged, idx, row_valid))
+        n_steps = int(idx.shape[0])
+        if max_dispatch_steps and n_steps > max_dispatch_steps:
+            # the scan carry is six pure sums, so chunked dispatches compose
+            # by addition — same watchdog bound as the chunked train epoch
+            parts = []
+            off = 0
+            while off < n_steps:
+                end = min(off + max_dispatch_steps, n_steps)
+                parts.append(
+                    self._evaluate_resident(
+                        params, staged, idx[off:end], row_valid[off:end]
+                    )
+                )
+                off = end
+            fetched = [jax.device_get(p) for p in parts]
+            out = tuple(sum(vals) for vals in zip(*fetched))
+        else:
+            out = jax.device_get(self._evaluate_resident(params, staged, idx, row_valid))
         nll_num, nll_den, s_sum, s_cnt, ws_sums, ws_cnts = out
         return {
             "nll": float(nll_num) / float(nll_den) if nll_den > 0 else 0.0,

@@ -407,3 +407,83 @@ def test_ema_matches_manual_average_across_all_step_paths():
         )
     ]
     assert max(diffs) > 1e-6
+
+
+def test_chunked_resident_epoch_matches_single_dispatch():
+    """Dispatch-count invariance (train.resident_max_dispatch_steps): the
+    epoch split into capped chunks with a global step offset must reproduce
+    the single-dispatch trajectory bit-for-bit — dropout keys derive from
+    the same fold_in(epoch_key, global_step) values either way."""
+
+    batcher = _make_batcher(n_folds=2, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, np.full(3, 0.15, np.float32))
+    cfg = TimesNetConfig(
+        input_len=8, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.3, activation="gelu", mode="direct",
+        id_embed_dim=4, static_proj_dim=4, c_in=1, static_dim=4,
+        time_features=5, id_vocab=3,
+    )
+    # dropout > 0 so a wrong step offset would change the trajectory
+    engine = Engine(cfg, use_loss_masking=True, weight_decay=1e-6, num_series=3)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=True)
+    assert idx.shape[0] >= 3, "need several steps to exercise chunking"
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state_a = engine.init_state(jax.random.PRNGKey(0), init_batch)
+    state_b = engine.init_state(jax.random.PRNGKey(0), init_batch)
+
+    ep_key = jax.random.PRNGKey(7)
+    state_a, losses_a, mask_a = engine.train_epoch_resident(
+        state_a, 1e-3, ep_key, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+
+    cap = 2  # uneven remainder: exercises the second compiled program
+    loss_parts, mask_parts = [], []
+    off = 0
+    while off < idx.shape[0]:
+        end = min(off + cap, idx.shape[0])
+        state_b, pl, pm = engine.train_epoch_resident(
+            state_b, 1e-3, ep_key, staged,
+            jnp.asarray(idx[off:end]), jnp.asarray(rv[off:end]),
+            step_offset=off,
+        )
+        loss_parts.append(np.asarray(pl))
+        mask_parts.append(np.asarray(pm))
+        off = end
+
+    np.testing.assert_array_equal(
+        np.asarray(losses_a), np.concatenate(loss_parts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask_a), np.concatenate(mask_parts)
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_chunked_eval_resident_matches_single_dispatch():
+    """evaluate_resident(max_dispatch_steps=k) must equal the one-dispatch
+    result: the scan carry is six pure sums, so chunking composes exactly."""
+
+    batcher = _make_batcher(n_folds=2, N=3, L=8, H=4)
+    staged = _stage_from_batcher(batcher, np.full(3, 0.15, np.float32))
+    engine = _tiny_engine(3, 8, 4, with_marks=True)
+
+    idx, rv = epoch_index_plan(staged.total, 16, None, shuffle=False, drop_last=False)
+    init_batch = engine.gather_staged_batch(staged, idx[0], rv[0])
+    state = engine.init_state(jax.random.PRNGKey(0), init_batch)
+
+    whole = engine.evaluate_resident(
+        state.params, staged, jnp.asarray(idx), jnp.asarray(rv)
+    )
+    chunked = engine.evaluate_resident(
+        state.params, staged, jnp.asarray(idx), jnp.asarray(rv),
+        max_dispatch_steps=2,
+    )
+    np.testing.assert_allclose(chunked["nll"], whole["nll"], rtol=1e-6)
+    np.testing.assert_allclose(chunked["smape"], whole["smape"], rtol=1e-6)
+    np.testing.assert_allclose(chunked["series_sums"], whole["series_sums"], rtol=1e-6)
+    np.testing.assert_array_equal(chunked["series_cnts"], whole["series_cnts"])
