@@ -35,6 +35,31 @@ def build_id_col(df: pd.DataFrame, id_col: str) -> pd.Series:
     return df[id_col].astype(str).str.split().str.join("_")
 
 
+def _fill_grid(index: pd.DatetimeIndex) -> Optional[pd.DatetimeIndex]:
+    """Dense timestamp grid for ``fill_missing_dates``, at the index's own resolution.
+
+    Date-like indexes (every stamp at midnight) keep the reference semantics —
+    fill missing calendar DAYS (reference ``utils/io.py:494-540`` only ever
+    sees daily data). Sub-daily indexes (e.g. the hourly long-context
+    benchmark) fill at the smallest observed spacing instead; reindexing an
+    hourly index onto a daily grid would silently DROP every non-midnight row
+    (2400 hourly rows collapsed to 100 daily ones before this guard). If the
+    observed stamps don't all lie on that grid (irregular sampling), return
+    ``None`` — no fill beats data loss.
+    """
+
+    idx = pd.DatetimeIndex(index)
+    if len(idx) < 2:
+        return None
+    if (idx == idx.normalize()).all():
+        return pd.date_range(idx.min(), idx.max(), freq="D")
+    step = np.diff(idx.values).min()  # index is sorted unique by construction
+    full = pd.date_range(idx[0], idx[-1], freq=pd.Timedelta(step))
+    if len(full) == len(idx) or not idx.isin(full).all():
+        return None
+    return full
+
+
 def pivot_long_to_wide(
     df: pd.DataFrame,
     date_col: str,
@@ -81,8 +106,9 @@ def pivot_long_to_wide(
     values[date_codes, id_codes] = pd.to_numeric(df[target_col]).to_numpy(dtype=float)
     wide = pd.DataFrame(values, index=pd.DatetimeIndex(date_index), columns=list(id_index))
     if fill_missing_dates:
-        full_idx = pd.date_range(wide.index.min(), wide.index.max(), freq="D")
-        wide = wide.reindex(full_idx)
+        full_idx = _fill_grid(wide.index)
+        if full_idx is not None:
+            wide = wide.reindex(full_idx)
     if fillna0:
         wide = wide.fillna(0.0)
     wide.index.name = None

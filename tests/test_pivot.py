@@ -85,3 +85,37 @@ def test_scaler_round_trip():
         np.testing.assert_allclose(arr, normed.to_numpy(np.float32), rtol=1e-5, atol=1e-5)
         back = inverse_transform(arr, list(wide.columns), scaler, method)
         np.testing.assert_allclose(back, wide.to_numpy(np.float32), rtol=1e-4, atol=1e-4)
+
+
+def test_pivot_preserves_subdaily_resolution():
+    """Hourly data must not collapse onto the daily fill grid.
+
+    Regression: ``fill_missing_dates`` used a hard-coded ``freq="D"`` reindex,
+    which dropped every non-midnight row (the hourly long-context benchmark
+    lost 23/24 of its history and training failed with an empty val split).
+    Sub-daily indexes fill at the smallest observed spacing instead.
+    """
+
+    idx = pd.date_range("2024-01-01", periods=72, freq="h")
+    keep = np.ones(72, bool)
+    keep[[10, 33]] = False
+    df = pd.DataFrame(
+        {
+            "date": np.repeat(idx[keep].astype(str), 2),
+            "id": ["a", "b"] * int(keep.sum()),
+            "target": np.arange(2 * int(keep.sum()), dtype=float),
+        }
+    )
+    wide = pivot_long_to_wide(df, "date", "id", "target", True, True)
+    assert wide.shape == (72, 2)  # missing hours filled, none dropped
+    assert float(wide.iloc[10, 0]) == 0.0 and float(wide.iloc[33, 1]) == 0.0
+    assert (wide.index[1] - wide.index[0]) == pd.Timedelta(hours=1)
+
+
+def test_pivot_irregular_subdaily_skips_fill():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:07", "2024-01-01 00:11", "2024-01-01 09:00"]
+    )
+    df = pd.DataFrame({"date": ts.astype(str), "id": "a", "target": 1.0})
+    wide = pivot_long_to_wide(df, "date", "id", "target", True, True)
+    assert wide.shape == (4, 1)  # no grid fits: skip the fill, lose nothing
