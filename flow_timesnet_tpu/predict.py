@@ -13,6 +13,7 @@ transforms, clips at zero and renders the configured submission format.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from glob import glob
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
@@ -216,6 +217,41 @@ def _prepare_test_batches(
             )
         )
     return batches, row_meta, row_order, test_parts, new_ids, sorted(union), missing_by_part
+
+
+_AUTO_CHUNK_ROWS = 2048
+
+
+def _resolve_chunk_rows(
+    predict_cfg: Mapping[str, Any] | None, num_series: int, mesh_size: int
+) -> Optional[int]:
+    """Rows per compiled forward, or ``None`` for the whole-batch legacy path.
+
+    At high cardinality (N=10k) a single [N, L, 1] forward forces XLA to
+    compile a fresh program for a batch dimension nothing else uses — on the
+    real chip that compile dominated predict wall time by two orders of
+    magnitude. Chunking the series axis into fixed-size blocks (padded, with
+    ``row_valid`` masking the tail) bounds the compiled shape regardless of N
+    and is also closer to the training batch distribution that period
+    selection (a batch mean) was fit under. ``predict.chunk_rows``:
+    ``"auto"`` (default — whole batch up to 2048 rows, 2048-row chunks
+    beyond), an int, or ``null``/``off`` to force the legacy exact path.
+    """
+
+    raw = (predict_cfg or {}).get("chunk_rows", "auto")
+    if raw in (None, False) or str(raw).lower() in ("none", "null", "off", "0"):
+        return None
+    if str(raw).lower() == "auto":
+        chunk = _AUTO_CHUNK_ROWS
+    else:
+        chunk = int(raw)
+        if chunk <= 0:
+            return None
+    if mesh_size > 1:
+        chunk = -(-chunk // mesh_size) * mesh_size
+    if chunk >= num_series:
+        return None
+    return chunk
 
 
 def _validate_signature(signature: Mapping[str, Any], cfg: PipelineConfig) -> None:
@@ -721,6 +757,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         )
 
     id_position_map = {sid: i for i, sid in enumerate(ids)}
+    t_prep = time.monotonic()
     (
         test_batches,
         row_meta,
@@ -742,6 +779,10 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         # reference predict.py:189,942-945 — but a rolled-out forecast strictly
         # dominates the default fill for every row the writer would pad).
         full_horizon_decode=(tn_cfg.mode != "direct"),
+    )
+    console().print(
+        f"[dim]prepared {len(test_batches)} test batches in "
+        f"{time.monotonic() - t_prep:.1f}s[/dim]"
     )
 
     encoding = cfg_used["data"].get("encoding", "utf-8")
@@ -855,7 +896,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             sigma_vector[gather].reshape(-1, 1, 1) if sigma_vector is not None else None
         )
 
-        arrays = {
+        host_arrays = {
             "x": xb,
             "x_mark": x_mark,
             "y_mark": y_mark,
@@ -864,50 +905,101 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             "floor": floor,
             "row_valid": None,
         }
-        if pred_mesh is not None:
-            m = int(pred_mesh.devices.size)
-            pad = (-num_series) % m
-            if pad:
-                arrays = {
-                    k: (
-                        np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
-                        if v is not None
-                        else None
+
+        def run_rows(
+            chunk_arrays: Dict[str, Optional[np.ndarray]], n_rows: int, want_disp: bool
+        ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+            """Pad to the mesh, forward one fixed-shape block, fetch rows [0, n_rows)."""
+
+            arrays = chunk_arrays
+            if pred_mesh is not None:
+                m = int(pred_mesh.devices.size)
+                pad = (-arrays["x"].shape[0]) % m
+                if pad:
+                    valid = arrays.get("row_valid")
+                    if valid is None:
+                        valid = np.ones(arrays["x"].shape[0], np.float32)
+                    arrays = {
+                        k: (
+                            np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                            if v is not None
+                            else None
+                        )
+                        for k, v in arrays.items()
+                    }
+                    # period selection/grouping take batch means; row_valid
+                    # masks the padded rows out so the sharded forward selects
+                    # exactly what the unpadded single-device batch would
+                    arrays["row_valid"] = np.concatenate(
+                        [valid, np.zeros(pad, np.float32)]
                     )
+                arrays = shard_batch(pred_mesh, arrays)
+            else:
+                arrays = {
+                    k: (jnp.asarray(v) if v is not None else None)
                     for k, v in arrays.items()
                 }
-                # period selection/grouping take batch means; row_valid masks
-                # the padded rows out so the sharded forward selects exactly
-                # what the unpadded single-device batch would
-                arrays["row_valid"] = np.concatenate(
-                    [np.ones(num_series, np.float32), np.zeros(pad, np.float32)]
-                )
-            arrays = shard_batch(pred_mesh, arrays)
-        else:
-            arrays = {
-                k: (jnp.asarray(v) if v is not None else None)
-                for k, v in arrays.items()
-            }
-
-        kw = dict(
-            x_mark=arrays["x_mark"],
-            static=arrays["static"],
-            ids=arrays["ids"],
-            floor=arrays["floor"],
-            row_valid=arrays["row_valid"],
-        )
-        if tn_cfg.mode == "direct":
-            rate_pred, disp_pred = engine.forward(params, arrays["x"], **kw)
-        else:
-            rate_pred, disp_pred = engine.rollout(
-                params,
-                arrays["x"],
-                decode_steps,
-                y_mark=arrays["y_mark"],
-                **kw,
+            kw = dict(
+                x_mark=arrays["x_mark"],
+                static=arrays["static"],
+                ids=arrays["ids"],
+                floor=arrays["floor"],
+                row_valid=arrays["row_valid"],
             )
+            if tn_cfg.mode == "direct":
+                rate_pred, disp_pred = engine.forward(params, arrays["x"], **kw)
+            else:
+                rate_pred, disp_pred = engine.rollout(
+                    params,
+                    arrays["x"],
+                    decode_steps,
+                    y_mark=arrays["y_mark"],
+                    **kw,
+                )
+            rate = np.asarray(rate_pred)[:n_rows, :, 0]  # [n_rows, H]
+            disp = np.asarray(disp_pred)[:n_rows, :, 0] if want_disp else None
+            return rate, disp
 
-        rate_np = np.asarray(rate_pred)[:num_series, :, 0]  # [num_series, H]
+        mesh_size = int(pred_mesh.devices.size) if pred_mesh is not None else 1
+        chunk_rows = _resolve_chunk_rows(
+            cfg_used.get("predict"), num_series, mesh_size
+        )
+        t_fwd = time.monotonic()
+        if chunk_rows is None:
+            rate_np, disp_np = run_rows(host_arrays, num_series, bool(q_levels))
+        else:
+            # fixed-shape blocks: pad the tail with repeats of the last row and
+            # mask them via row_valid, so every chunk reuses ONE compiled program
+            rates: List[np.ndarray] = []
+            disps: List[np.ndarray] = []
+            for lo in range(0, num_series, chunk_rows):
+                hi = min(lo + chunk_rows, num_series)
+                pad = chunk_rows - (hi - lo)
+                sub = {
+                    k: (
+                        np.concatenate([v[lo:hi], np.repeat(v[hi - 1 : hi], pad, axis=0)])
+                        if pad
+                        else v[lo:hi]
+                    )
+                    if v is not None
+                    else None
+                    for k, v in host_arrays.items()
+                }
+                sub["row_valid"] = np.concatenate(
+                    [np.ones(hi - lo, np.float32), np.zeros(pad, np.float32)]
+                )
+                rate_c, disp_c = run_rows(sub, hi - lo, bool(q_levels))
+                rates.append(rate_c)
+                if disp_c is not None:
+                    disps.append(disp_c)
+            rate_np = np.concatenate(rates, axis=0)
+            disp_np = np.concatenate(disps, axis=0) if disps else None
+        console().print(
+            f"[dim]{batch.name}: forward {num_series} rows in "
+            f"{time.monotonic() - t_fwd:.1f}s"
+            + (f" ({chunk_rows}-row chunks)" if chunk_rows else "")
+            + "[/dim]"
+        )
         effective_steps = len(batch.pred_row_keys)
         Pn = np.zeros((effective_steps, len(ids)), np.float32)
         Pn[:, gather] = rate_np[:, :effective_steps].T
@@ -918,7 +1010,6 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
         pred_list.append(pred_df.set_index("row_key"))
 
         if q_levels:
-            disp_np = np.asarray(disp_pred)[:num_series, :, 0]
             # Quantiles are computed in model space and pushed through the
             # (monotone affine) inverse scaler — quantiles commute with
             # monotone transforms, so this is exact for every scaler method.
@@ -939,6 +1030,7 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
                 q_pred_lists[q].append(q_df.set_index("row_key"))
 
     preds = merge_forecasts(pred_list)
+    t_write = time.monotonic()
     submission_cfg = cfg_used.setdefault("submission", {})
     context = build_submission_context(
         predictions=preds,
@@ -968,7 +1060,10 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     submission_df.to_csv(output_path, index=False, encoding="utf-8-sig")
-    console().print(f"[bold green]Saved submission:[/bold green] {output_path}")
+    console().print(
+        f"[bold green]Saved submission:[/bold green] {output_path} "
+        f"[dim](render+write {time.monotonic() - t_write:.1f}s)[/dim]"
+    )
 
     for q in q_levels:
         q_preds = merge_forecasts(q_pred_lists[q])

@@ -305,3 +305,95 @@ def test_predict_data_parallel_matches_single_device(tmp_path):
     sd = pd.read_csv(out_1d).set_index("row_key").to_numpy(dtype=float)
     assert dp.shape == sd.shape == (3, 5)
     np.testing.assert_allclose(dp, sd, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_forward_matches_whole_batch(tmp_path):
+    """predict.chunk_rows: fixed-shape chunked forwards reproduce the
+    whole-batch predictions when the period selection is stable.
+
+    Selection is a batch-mean top-k, but the softmax weights are per-sample
+    (models/period.py::select_periods), so on a strongly periodic dataset
+    every chunk selects the same periods and per-row outputs match the
+    single [N, L, 1] forward. This is the high-cardinality predict path:
+    one bounded compiled program regardless of N (the N=10k e2e run spent
+    ~116 min compiling a batch-10,000 forward nothing else uses).
+    """
+
+    rng = np.random.default_rng(3)
+    T, N = 60, 24
+    dates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(N):
+        vals = np.maximum(
+            np.round(
+                5
+                + 3 * np.sin(2 * math.pi * (np.arange(T) + j) / 7)
+                + rng.normal(0, 0.2, T)
+            ),
+            0,
+        )
+        for d, v in zip(dates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j:02d}", "target": float(v)})
+    train_csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir)
+    tdates = pd.date_range(dates[-1] + pd.Timedelta(days=1), periods=16, freq="D")
+    trows = []
+    for j in range(N):
+        for i, d in enumerate(tdates):
+            trows.append(
+                {
+                    "date": d.strftime("%Y-%m-%d"),
+                    "id": f"S{j:02d}",
+                    "target": float(5 + 3 * np.sin(2 * math.pi * (T + i + j) / 7)),
+                }
+            )
+    pd.DataFrame(trows).to_csv(test_dir / "TEST_00.csv", index=False)
+
+    cfg = {
+        "data": {
+            "train_csv": str(train_csv), "test_dir": str(test_dir),
+            "date_col": "date", "id_col": "id", "target_col": "target",
+            "horizon": 4, "time_features": {"enabled": False},
+        },
+        "preprocess": {"normalize": "zscore", "clip_negative": True},
+        "window": {"input_len": 14, "pred_len": 4},
+        "model": {
+            "mode": "direct", "input_len": 14, "pred_len": 4, "d_model": 8,
+            "d_ff": 16, "n_layers": 1, "k_periods": 1, "min_period_threshold": 2,
+            "kernel_set": [[3, 3]], "dropout": 0.0, "id_embed_dim": 2,
+        },
+        "train": {
+            "device": "cpu", "epochs": 1, "batch_size": 16, "lr": 1e-3,
+            "lr_warmup_steps": 0,
+            "val": {"strategy": "holdout", "holdout_days": 20},
+        },
+        "artifacts": {"dir": str(tmp_path / "artifacts")},
+        "submission": {"out_path": str(tmp_path / "sub_whole.csv"), "format": "row_key"},
+        "tuning": {"seed": 5},
+    }
+    train_once(PipelineConfig.from_mapping(cfg))
+    whole = pd.read_csv(predict_once(PipelineConfig.from_mapping(cfg)))
+
+    cfg["predict"] = {"chunk_rows": 7}  # 24 rows -> 3 full chunks + padded tail
+    cfg["submission"]["out_path"] = str(tmp_path / "sub_chunked.csv")
+    chunked = pd.read_csv(predict_once(PipelineConfig.from_mapping(cfg)))
+
+    assert list(whole.columns) == list(chunked.columns)
+    np.testing.assert_allclose(
+        whole.iloc[:, 1:].to_numpy(float),
+        chunked.iloc[:, 1:].to_numpy(float),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_resolve_chunk_rows():
+    from flow_timesnet_tpu.predict import _resolve_chunk_rows
+
+    assert _resolve_chunk_rows(None, 100, 1) is None          # auto, small N
+    assert _resolve_chunk_rows({}, 10_000, 1) == 2048         # auto, large N
+    assert _resolve_chunk_rows({"chunk_rows": "off"}, 10_000, 1) is None
+    assert _resolve_chunk_rows({"chunk_rows": 512}, 10_000, 1) == 512
+    assert _resolve_chunk_rows({"chunk_rows": 500}, 10_000, 8) == 504  # mesh multiple
+    assert _resolve_chunk_rows({"chunk_rows": 512}, 300, 1) is None    # covers N
