@@ -15,6 +15,7 @@ from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from typing import Dict, List, Mapping, Optional, Sequence, Type
 
+import numpy as np
 import pandas as pd
 
 from ..data.pivot import normalize_series_name
@@ -96,12 +97,42 @@ class SubmissionWriter(ABC):
         logger.warning("Missing prediction for %s (%s); filling defaults", row_key, reason)
         return self._defaults(context)
 
-    def _row_values(self, predictions: pd.DataFrame, row_key: str,
-                    context: SubmissionContext) -> List[float]:
-        series = predictions.loc[row_key]
-        return [
-            float(series.get(col, self.default_fill_value)) for col in context.output_order
+    def _values_matrix(
+        self,
+        predictions: pd.DataFrame,
+        row_keys: Sequence[Optional[str]],
+        context: SubmissionContext,
+    ) -> "np.ndarray":
+        """[len(row_keys), n_output] float matrix aligned to ``output_order``.
+
+        One vectorised ``reindex`` instead of a per-(row, column) lookup —
+        the per-cell path was quadratic-feeling in pandas and took >1 h at
+        10k series. Semantics preserved exactly: rows whose key is ``None``
+        (caller already dispatched the missing policy) or absent from
+        ``predictions`` become default-filled; columns absent from
+        ``predictions`` fill with the default; NaNs in *present* columns
+        pass through untouched (as ``Series.get`` did).
+        """
+
+        aligned = predictions.reindex(
+            index=pd.Index(k if k is not None else "\0missing" for k in row_keys),
+            columns=context.output_order,
+        )
+        values = aligned.to_numpy(dtype=float, copy=True)
+        present = predictions.columns
+        col_missing = [
+            j for j, c in enumerate(context.output_order) if c not in present
         ]
+        if col_missing:
+            values[:, col_missing] = self.default_fill_value
+        row_missing = [
+            i
+            for i, k in enumerate(row_keys)
+            if k is None or k not in predictions.index
+        ]
+        if row_missing:
+            values[row_missing, :] = self.default_fill_value
+        return values
 
     @abstractmethod
     def _expected_columns(self, context: SubmissionContext) -> List[str]:
@@ -127,27 +158,24 @@ class RowKeyLongWriter(SubmissionWriter):
             df = pd.DataFrame({context.row_key_column: list(context.row_order)})
             for column in context.output_columns:
                 df[column] = context.default_fill_value
-        for i, raw in enumerate(df[context.row_key_column]):
+        canon: List[Optional[str]] = []
+        for raw in df[context.row_key_column]:
             try:
                 part, step = parse_row_key(str(raw))
                 row_key = f"{part}+D{int(step)}"
             except Exception:  # noqa: BLE001
-                df.loc[i, context.output_columns] = self._missing_row(
-                    str(raw), context, "invalid_row_key"
-                )
+                self._missing_row(str(raw), context, "invalid_row_key")
+                canon.append(None)
                 continue
             if row_key not in context.row_meta:
-                df.loc[i, context.output_columns] = self._missing_row(
-                    row_key, context, "unknown_row"
-                )
+                self._missing_row(row_key, context, "unknown_row")
+                canon.append(None)
             elif row_key not in predictions.index:
-                df.loc[i, context.output_columns] = self._missing_row(
-                    row_key, context, "missing_prediction"
-                )
+                self._missing_row(row_key, context, "missing_prediction")
+                canon.append(None)
             else:
-                df.loc[i, context.output_columns] = self._row_values(
-                    predictions, row_key, context
-                )
+                canon.append(row_key)
+        df[context.output_columns] = self._values_matrix(predictions, canon, context)
         return df
 
 
@@ -159,18 +187,19 @@ class DateMenuWriter(SubmissionWriter):
 
     def _fill(self, predictions: pd.DataFrame, context: SubmissionContext) -> pd.DataFrame:
         dates = []
-        rows = []
+        canon: List[Optional[str]] = []
         for row_key in context.row_order:
             meta = context.row_meta.get(row_key)
             dates.append(meta.date if meta and meta.date is not None else row_key)
             if row_key in predictions.index:
-                rows.append(self._row_values(predictions, row_key, context))
+                canon.append(row_key)
             else:
-                rows.append(self._missing_row(row_key, context, "missing_prediction"))
-        data: Dict[str, list] = {context.date_column: dates}
-        for j, column in enumerate(context.output_columns):
-            data[column] = [r[j] for r in rows]
-        return pd.DataFrame(data)
+                self._missing_row(row_key, context, "missing_prediction")
+                canon.append(None)
+        values = self._values_matrix(predictions, canon, context)
+        out = pd.DataFrame(values, columns=context.output_columns)
+        out.insert(0, context.date_column, dates)
+        return out
 
 
 WRITER_REGISTRY: Dict[str, Type[SubmissionWriter]] = {

@@ -97,3 +97,54 @@ def test_merge_forecasts_normalises_headers():
     merged = merge_forecasts([df1, df2])
     assert list(merged.columns) == ["menu_x"]
     assert len(merged) == 2
+
+
+def test_nan_in_present_column_passes_through():
+    # NaN in a column the predictions DO carry must stay NaN (it is a real
+    # model output), while columns absent from predictions get the default.
+    preds, ctx = _context(sample_df=None)
+    preds.loc["TEST_00+D1", "menu_a"] = np.nan
+    out = get_submission_writer("row_key")().render(preds, ctx)
+    assert np.isnan(out["menu_a"].to_numpy()[0])
+    assert out["menu_a"].to_numpy()[1] == 2.0
+
+
+def test_render_scales_to_10k_columns():
+    # Regression guard: the per-cell fill path took >1 h at N=10k series
+    # (one .loc row-assignment per template row); the vectorised reindex
+    # must keep this in seconds even on a contended single-core host.
+    import time
+
+    n_ids = 10_000
+    ids = [f"menu_{i:05d}" for i in range(n_ids)]
+    row_keys = [f"TEST_{p:02d}+D{d}" for p in range(5) for d in range(1, 8)]
+    preds = pd.DataFrame(
+        np.random.default_rng(0).random((len(row_keys), n_ids)).astype(np.float32),
+        columns=ids,
+        index=row_keys,
+    )
+    row_meta = {
+        rk: SubmissionRowMeta(rk.split("+")[0], int(rk.split("+D")[1]))
+        for rk in row_keys
+    }
+    sample = pd.DataFrame({"row_key": row_keys} | {c: 0.0 for c in ids})
+    ctx = build_submission_context(
+        predictions=preds,
+        sample_df=sample,
+        row_meta=row_meta,
+        row_order=row_keys,
+        test_parts={f"TEST_{p:02d}": [] for p in range(5)},
+        ids=ids,
+        new_ids=[],
+        missing_ids=[],
+        missing_by_part={},
+        submission_cfg={"format": "row_key"},
+    )
+    t0 = time.monotonic()
+    out = get_submission_writer("row_key")().render(preds, ctx)
+    elapsed = time.monotonic() - t0
+    assert out.shape == (len(row_keys), n_ids + 1)
+    np.testing.assert_allclose(
+        out[ids[7]].to_numpy(), preds[ids[7]].to_numpy(), rtol=1e-6
+    )
+    assert elapsed < 60.0, f"10k-column render took {elapsed:.1f}s"
