@@ -296,6 +296,55 @@ class Engine:
             layers.append(tuple(slots))
         return tuple(layers)
 
+    @staticmethod
+    def parse_freeze_mode(raw: Any) -> str:
+        """Normalise ``predict.freeze_periods`` to ``off``/``auto``/``on``.
+
+        YAML 1.1 coerces bare ``on``/``off``/``yes``/``no`` in dotted CLI
+        overrides to booleans before we ever see a string, so booleans map to
+        their mode rather than erroring.
+        """
+
+        if isinstance(raw, bool):
+            return "on" if raw else "off"
+        mode = str(raw).strip().lower()
+        if mode in ("off", "false", "0", "no", ""):
+            return "off"
+        if mode in ("on", "true", "1", "yes"):
+            return "on"
+        if mode == "auto":
+            return "auto"
+        raise ValueError(
+            f"predict.freeze_periods must be off|auto|on, got '{raw}'"
+        )
+
+    @staticmethod
+    def frozen_spec_from_config(raw: Any, n_layers: int):
+        """Deserialize ``train.frozen_periods_spec`` (YAML nested lists, as
+        written by ``train_once``) back into the hashable per-layer spec that
+        ``TimesNetConfig.frozen_periods`` accepts.
+
+        Returns ``None`` when absent; raises ``ValueError`` on a malformed or
+        layer-count-mismatched spec so callers can warn and fall back to the
+        dynamic path rather than silently mis-specializing.
+        """
+
+        if not raw:
+            return None
+        try:
+            layers = tuple(
+                tuple((int(p), int(f), bool(v)) for p, f, v in layer)
+                for layer in raw
+            )
+        except (TypeError, ValueError) as err:
+            raise ValueError(f"Malformed frozen_periods_spec: {err}") from err
+        if len(layers) != int(n_layers):
+            raise ValueError(
+                f"frozen_periods_spec carries {len(layers)} layers but the "
+                f"model has n_layers={n_layers}"
+            )
+        return layers
+
     # -- training ---------------------------------------------------------------
 
     def _loss(self, params, batch, rng):

@@ -142,6 +142,31 @@ class Forecaster:
                 else None
             ),
         )
+        # Same inference-side specialization knob as predict_once
+        # (predict.py): off by default because freezing pins the
+        # training-time period selection instead of re-selecting per window.
+        freeze_mode = Engine.parse_freeze_mode(
+            (cfg_used.get("predict") or {}).get("freeze_periods", "off")
+        )
+        if freeze_mode in ("auto", "on"):
+            import dataclasses as _dc
+
+            try:
+                stored_spec = Engine.frozen_spec_from_config(
+                    cfg_used.get("train", {}).get("frozen_periods_spec"),
+                    tn_cfg.n_layers,
+                )
+            except ValueError:
+                if freeze_mode == "on":
+                    raise
+                stored_spec = None
+            if stored_spec is not None:
+                tn_cfg = _dc.replace(tn_cfg, frozen_periods=stored_spec)
+            elif freeze_mode == "on":
+                raise ValueError(
+                    "predict.freeze_periods=on but the checkpoint carries no "
+                    "train.frozen_periods_spec"
+                )
         engine = Engine(tn_cfg, num_series=len(ids))
         return cls(
             engine,

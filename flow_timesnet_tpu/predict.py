@@ -732,6 +732,47 @@ def predict_once(cfg: PipelineConfig | Dict[str, Any]) -> str:
             else None
         ),
     )
+    # Inference-side trace-time period specialization
+    # (``predict.freeze_periods``: off|auto|on, default off). When the
+    # training run froze (``train.frozen_periods_spec`` in config_used.yaml
+    # records the spec active at the best checkpoint), build the model with
+    # those static periods: the fold runs dense exact-extent programs instead
+    # of the masked worst-case extent. NOTE the semantics: the dynamic path
+    # re-selects periods from each TEST window's FFT, while freezing pins the
+    # training-time selection — identical within 1e-5 when the selections
+    # agree (tests/test_freeze_periods.py) but a genuine behavioural switch
+    # when they drift, hence off by default.
+    freeze_mode = Engine.parse_freeze_mode(
+        (cfg_used.get("predict") or {}).get("freeze_periods", "off")
+    )
+    if freeze_mode in ("auto", "on"):
+        import dataclasses as _dc
+
+        try:
+            stored_spec = Engine.frozen_spec_from_config(
+                train_cfg.get("frozen_periods_spec"), tn_cfg.n_layers
+            )
+        except ValueError as err:
+            if freeze_mode == "on":
+                raise
+            console().print(
+                f"[yellow]predict.freeze_periods=auto: stored spec unusable "
+                f"({err}); using the dynamic path.[/yellow]"
+            )
+            stored_spec = None
+        if stored_spec is not None:
+            tn_cfg = _dc.replace(tn_cfg, frozen_periods=stored_spec)
+            periods = sorted({p for layer in stored_spec for p, _, v in layer if v})
+            console().print(
+                f"[dim]freeze_periods: inference specialized to stored "
+                f"periods {periods}[/dim]"
+            )
+        elif freeze_mode == "on":
+            raise ValueError(
+                "predict.freeze_periods=on but the checkpoint's config_used.yaml "
+                "carries no train.frozen_periods_spec (the training run never "
+                "froze); retrain with train.freeze_periods=on or use auto/off"
+            )
     engine = Engine(tn_cfg, num_series=len(ids))
 
     # Data-parallel inference (``predict.data_parallel: auto|off``, default

@@ -215,6 +215,12 @@ def _pin_platform(device_req: Optional[str]) -> None:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # noqa: BLE001 - backend already initialised
             pass
+    # every product entry point routes through here — piggyback the
+    # persistent compile cache so repeat CLI runs stop re-paying XLA
+    # compiles that bench/tests already cache
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
 
 def _log_device_memory(tag: str) -> None:
@@ -725,6 +731,11 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
     best_wsmape = float("inf")
     best_params = None
     best_epoch = 0
+    # frozen spec active when the best snapshot was taken (None = dynamic);
+    # this — not the last epoch's spec — is what config_used.yaml records, so
+    # predict-side specialization (predict.freeze_periods) describes the
+    # checkpoint actually being shipped.
+    best_frozen_spec = None
     patience_limit = cfg["train"].get("early_stopping_patience")
     patience = 0
     # Checkpoint-selection / early-stopping metric. The reference keys on val
@@ -1054,6 +1065,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             # RTT relay) is deferred to the save sites / end of the loop.
             best_params = device_snapshot(eval_params)
             best_epoch = ep
+            best_frozen_spec = frozen_state["spec"]
             patience = 0
         else:
             patience += 1
@@ -1097,6 +1109,7 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
     )
     if best_params is None:
         best_params = host_fetch(state.ema if ema_decay > 0.0 else state.params)
+        best_frozen_spec = frozen_state["spec"]
     else:
         # no-op for host trees (resume path); one fetch for device snapshots
         best_params = host_fetch(best_params)
@@ -1121,6 +1134,17 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         "per_series": norm_per_series,
         "eps": eps,
     }
+    if freeze_enabled:
+        # config_used.yaml must describe the checkpoint being shipped, not the
+        # last epoch trained: record the frozen spec that was active when the
+        # best snapshot was taken (None -> the snapshot came from a dynamic
+        # epoch, so predict-side specialization has no stored selection).
+        if best_frozen_spec is not None:
+            cfg["train"]["frozen_periods_spec"] = [
+                [list(slot) for slot in layer] for layer in best_frozen_spec
+            ]
+        else:
+            cfg["train"].pop("frozen_periods_spec", None)
     artifacts_io.save_pickle(
         {
             "scaler": scaler,

@@ -236,3 +236,109 @@ def test_train_once_freeze_trajectory_parity(tmp_path):
         )
     else:
         assert len(spec) == used["model"]["n_layers"]
+
+
+def test_frozen_spec_from_config_roundtrip():
+    from flow_timesnet_tpu.engine import Engine
+
+    spec = (
+        ((7, 4, True), (27, 1, False)),
+        ((7, 4, True), (14, 2, True)),
+    )
+    raw = [[list(s) for s in layer] for layer in spec]
+    assert Engine.frozen_spec_from_config(raw, 2) == spec
+    assert Engine.frozen_spec_from_config(None, 2) is None
+    assert Engine.frozen_spec_from_config([], 2) is None
+    with pytest.raises(ValueError):
+        Engine.frozen_spec_from_config(raw, 3)  # layer-count mismatch
+    with pytest.raises(ValueError):
+        Engine.frozen_spec_from_config([[["x", 1, True]]], 1)  # malformed
+
+
+def test_predict_freeze_periods_e2e(tmp_path):
+    """predict.freeze_periods consumes the spec stored at the best epoch:
+    frozen inference matches the dynamic path on stable clean-weekly data,
+    and ``on`` fails loudly when the checkpoint never froze."""
+
+    import pandas as pd
+    import yaml
+
+    from flow_timesnet_tpu.config import PipelineConfig
+    from flow_timesnet_tpu.predict import predict_once
+    from flow_timesnet_tpu.train import train_once
+
+    train_csv = tmp_path / "train.csv"
+    # lower noise + longer history than _write_clean_weekly_csv: the FFT
+    # selection must stay stable through the LAST epoch so the best snapshot
+    # is a frozen one (the recorded spec is the best epoch's, not the last's)
+    rng = np.random.default_rng(3)
+    T = 150
+    tdates = pd.date_range("2024-01-01", periods=T, freq="D")
+    rows = []
+    for j in range(4):
+        base = 6 + j + 3.0 * np.sin(2 * np.pi * np.arange(T) / 7.0)
+        vals = np.maximum(np.round(base + rng.normal(0, 0.1, T)), 0)
+        for d, v in zip(tdates, vals):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}",
+                         "target": float(v)})
+    pd.DataFrame(rows).to_csv(train_csv, index=False)
+
+    test_dir = tmp_path / "test"
+    os.makedirs(test_dir, exist_ok=True)
+    dates = pd.date_range(tdates[-1] + pd.Timedelta(days=1), periods=35, freq="D")
+    rows = []
+    for j in range(4):
+        base = 5 + j + 2.0 * np.sin(2 * np.pi * np.arange(len(dates)) / 7.0)
+        for d, v in zip(dates, np.maximum(np.round(base), 0)):
+            rows.append({"date": d.strftime("%Y-%m-%d"), "id": f"S{j}",
+                         "target": float(v)})
+    pd.DataFrame(rows).to_csv(test_dir / "TEST_00.csv", index=False)
+    sample = pd.DataFrame({"row_key": [f"TEST_00+D{d}" for d in range(1, 8)]})
+    for j in range(4):
+        sample[f"S{j}"] = 0.0
+    sample_path = tmp_path / "sample_submission.csv"
+    sample.to_csv(sample_path, index=False)
+
+    cfg = _train_cfg(
+        train_csv, tmp_path, "frz_pred",
+        {"freeze_periods": True, "freeze_after_epoch": 1, "epochs": 5},
+    )
+    cfg["data"].update(
+        {"test_dir": str(test_dir), "sample_submission": str(sample_path)}
+    )
+    cfg["submission"] = {"format": "row_key",
+                         "out_path": str(tmp_path / "sub_dyn.csv")}
+    train_once(PipelineConfig.from_mapping(cfg))
+
+    art_dir = tmp_path / "frz_pred"
+    with open(art_dir / "config_used.yaml", encoding="utf-8") as f:
+        used = yaml.safe_load(f)
+    if used["train"].get("frozen_periods_spec") is None:
+        pytest.skip("selection drifted on this seed; freeze never engaged")
+
+    pred_cfg = dict(cfg)
+    p_dyn = predict_once(PipelineConfig.from_mapping(pred_cfg))
+    pred_cfg["submission"] = {"format": "row_key",
+                              "out_path": str(tmp_path / "sub_frz.csv")}
+    pred_cfg["predict"] = {"freeze_periods": "on"}
+    p_frz = predict_once(PipelineConfig.from_mapping(pred_cfg))
+
+    a = pd.read_csv(p_dyn).set_index("row_key")
+    b = pd.read_csv(p_frz).set_index("row_key")
+    # clean weekly data -> the TEST-window selection agrees with the stored
+    # spec, so frozen inference is the same math (dense vs masked fold)
+    np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-4, atol=1e-3)
+
+    # strip the stored spec -> freeze_periods=on must fail loudly
+    used["train"].pop("frozen_periods_spec", None)
+    with open(art_dir / "config_used.yaml", "w", encoding="utf-8") as f:
+        yaml.safe_dump(used, f)
+    with pytest.raises(ValueError, match="frozen_periods_spec"):
+        predict_once(PipelineConfig.from_mapping(pred_cfg))
+    # ...but auto degrades gracefully to the dynamic path
+    pred_cfg["predict"] = {"freeze_periods": "auto"}
+    pred_cfg["submission"] = {"format": "row_key",
+                              "out_path": str(tmp_path / "sub_auto.csv")}
+    p_auto = predict_once(PipelineConfig.from_mapping(pred_cfg))
+    c = pd.read_csv(p_auto).set_index("row_key")
+    np.testing.assert_allclose(c.to_numpy(), a.to_numpy(), rtol=1e-6, atol=1e-6)
