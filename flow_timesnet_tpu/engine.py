@@ -46,6 +46,24 @@ def _strip_augment(staged):
     return staged
 
 
+def _safe_ratio(num, den) -> float:
+    """Metric sum / count with divergence made LOUD instead of perfect.
+
+    A NaN'd model masks every element out (``negative_binomial_mask`` drops
+    non-finite rates), so both accumulators come back 0 — the old
+    ``0.0 if den == 0`` fallback then reported val_nll/val_smape of exactly
+    0.0, which checkpoint selection AND the HPO objective read as a perfect
+    score (observed live: a diverged phase-3 trial "won" with val_smape
+    0.000000). Zero coverage or non-finite sums now score +inf.
+    """
+
+    num = float(num)
+    den = float(den)
+    if den <= 0.0 or not np.isfinite(num) or not np.isfinite(den):
+        return float("inf")
+    return num / den
+
+
 def _base_mask(y, mask, row_valid, use_loss_masking: bool):
     base = (mask > 0.0) if use_loss_masking else jnp.ones_like(y, dtype=bool)
     if row_valid is not None:
@@ -596,8 +614,8 @@ class Engine:
             out = jax.device_get(self._evaluate_resident(params, staged, idx, row_valid))
         nll_num, nll_den, s_sum, s_cnt, ws_sums, ws_cnts = out
         return {
-            "nll": float(nll_num) / float(nll_den) if nll_den > 0 else 0.0,
-            "smape": float(s_sum) / float(s_cnt) if s_cnt > 0 else 0.0,
+            "nll": _safe_ratio(nll_num, nll_den),
+            "smape": _safe_ratio(s_sum, s_cnt),
             "series_sums": np.asarray(ws_sums),
             "series_cnts": np.asarray(ws_cnts),
         }
@@ -680,16 +698,17 @@ class Engine:
                 else jax.tree_util.tree_map(lambda a, b: a + b, totals, out)
             )
         if totals is None:
+            # an empty eval stream must not masquerade as a perfect score
             return {
-                "nll": 0.0,
-                "smape": 0.0,
+                "nll": float("inf"),
+                "smape": float("inf"),
                 "series_sums": np.zeros(self.num_series, np.float32),
                 "series_cnts": np.zeros(self.num_series, np.float32),
             }
         nll_num, nll_den, s_sum, s_cnt, ws_sums, ws_cnts = jax.device_get(totals)
         return {
-            "nll": float(nll_num) / float(nll_den) if nll_den > 0 else 0.0,
-            "smape": float(s_sum) / float(s_cnt) if s_cnt > 0 else 0.0,
+            "nll": _safe_ratio(nll_num, nll_den),
+            "smape": _safe_ratio(s_sum, s_cnt),
             "series_sums": np.asarray(ws_sums, np.float32),
             "series_cnts": np.asarray(ws_cnts, np.float32),
         }

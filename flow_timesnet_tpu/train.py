@@ -1031,6 +1031,15 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
             raise FloatingPointError(
                 f"Non-finite training loss at epoch {ep}; check data scaling and lr."
             )
+        if mask_total > 0 and coverage <= 0.0:
+            # NaN params mask out every element, so the masked loss is an
+            # exactly-finite 0.0 and the isfinite guard above never fires —
+            # zero coverage on non-empty data means the model is dead
+            raise FloatingPointError(
+                f"Training mask coverage collapsed to 0 at epoch {ep} — the "
+                "model has diverged (non-finite rate/dispersion); lower the "
+                "lr or raise min_sigma."
+            )
         eval_params = state.ema if ema_decay > 0.0 else state.params
         if use_resident:
             metrics = engine.evaluate_resident(

@@ -99,7 +99,13 @@ def tune(
         # garbage objectives).
         cfg_dict.setdefault("train", {})["resume"] = False
         trial_cfg = PipelineConfig.from_mapping(cfg_dict)
-        best_nll, info = train_once(trial_cfg)
+        try:
+            best_nll, info = train_once(trial_cfg)
+        except FloatingPointError as err:
+            # a diverged trial is a valid (terrible) observation for the
+            # sampler, not a reason to kill the whole study
+            console().print(f"[red]trial diverged: {err}[/red]")
+            return float("inf")
         if objective_key in ("val_smape", "smape"):
             return float(info["metrics"]["smape"])
         return float(best_nll)

@@ -263,3 +263,79 @@ def test_tpe_respects_int_step_and_bounds():
         p = s.suggest()
         assert p["k"] in range(8, 65, 8)
         s.observe(float((p["k"] - 32) ** 2), p)
+
+
+def test_diverged_trial_scores_inf_and_study_survives(tmp_path, monkeypatch):
+    """A FloatingPointError from train_once (divergence guard) must become an
+    inf objective observation, not kill the study — and inf must never win."""
+
+    monkeypatch.setattr(tune_mod, "HAS_OPTUNA", False)
+    calls = {"n": 0}
+
+    def fake_train_once(cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FloatingPointError("Training mask coverage collapsed to 0")
+        return 1.5, {"metrics": {"smape": 0.4 + 0.01 * calls["n"]}}
+
+    monkeypatch.setattr(tune_mod, "train_once", fake_train_once)
+    search_space = tmp_path / "space.yaml"
+    save_yaml(
+        {"train.lr": {"low": 1e-4, "high": 1e-2, "log": True, "type": "float"}},
+        str(search_space),
+    )
+    cfg = PipelineConfig.from_mapping(
+        {
+            "data": {"train_csv": "unused.csv", "date_col": "d", "id_col": "i",
+                     "target_col": "t"},
+            "window": {"input_len": 12, "pred_len": 4},
+            "model": {"mode": "direct", "input_len": 12, "pred_len": 4,
+                      "d_model": 8, "d_ff": 16, "n_layers": 1, "k_periods": 1,
+                      "kernel_set": [[3, 3]], "dropout": 0.0},
+            "train": {"device": "cpu", "epochs": 1, "batch_size": 4,
+                      "val": {"strategy": "holdout", "holdout_days": 18}},
+            "artifacts": {"dir": str(tmp_path / "artifacts")},
+            "tuning": {"seed": 3, "objective": "val_smape", "sampler": "random"},
+        }
+    )
+    result = tune_mod.tune(
+        cfg, str(search_space), n_trials=3, out_dir=str(tmp_path / "artifacts")
+    )
+    assert calls["n"] == 3
+    assert np.isfinite(result["best_value"])
+    assert abs(result["best_value"] - 0.42) < 1e-9
+
+
+def test_evaluate_reports_inf_for_nan_params():
+    """NaN params mask every element out; the eval must say +inf, not 0.0."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from flow_timesnet_tpu.engine import Engine
+    from flow_timesnet_tpu.models.timesnet import TimesNetConfig
+
+    cfg = TimesNetConfig(
+        input_len=12, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=1,
+        kernel_set=((3, 3),), dropout=0.0, activation="gelu", mode="direct",
+        c_in=1, id_vocab=3,
+    )
+    engine = Engine(cfg, num_series=3)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.random((3, 12, 1)), jnp.float32),
+        "y": jnp.asarray(rng.integers(0, 5, (3, 4, 1)), jnp.float32),
+        "mask": jnp.ones((3, 4, 1), jnp.float32),
+        "x_mark": None, "y_mark": None, "static": None,
+        "ids": jnp.arange(3).reshape(3, 1), "floor": None, "row_valid": None,
+    }
+    params = engine.init_state(jax.random.PRNGKey(0), batch).params
+    healthy = engine.evaluate(params, [batch])
+    assert np.isfinite(healthy["nll"]) and np.isfinite(healthy["smape"])
+    nan_params = jax.tree_util.tree_map(lambda p: p * jnp.nan, params)
+    dead = engine.evaluate(nan_params, [batch])
+    assert dead["nll"] == float("inf")
+    assert dead["smape"] == float("inf")
+    # empty eval stream is not a perfect score either
+    empty = engine.evaluate(params, [])
+    assert empty["nll"] == float("inf")
