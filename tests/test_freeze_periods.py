@@ -329,6 +329,16 @@ def test_predict_freeze_periods_e2e(tmp_path):
     # spec, so frozen inference is the same math (dense vs masked fold)
     np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-4, atol=1e-3)
 
+    # frozen inference pins the selection, so chunking cannot change it:
+    # 2-row chunks must reproduce the unchunked frozen submission exactly
+    pred_cfg["predict"] = {"freeze_periods": "on", "chunk_rows": 2}
+    pred_cfg["submission"] = {"format": "row_key",
+                              "out_path": str(tmp_path / "sub_frz_chunked.csv")}
+    p_chunk = predict_once(PipelineConfig.from_mapping(pred_cfg))
+    d = pd.read_csv(p_chunk).set_index("row_key")
+    np.testing.assert_allclose(d.to_numpy(), b.to_numpy(), rtol=1e-5, atol=1e-5)
+    pred_cfg["predict"] = {"freeze_periods": "on"}
+
     # strip the stored spec -> freeze_periods=on must fail loudly
     used["train"].pop("frozen_periods_spec", None)
     with open(art_dir / "config_used.yaml", "w", encoding="utf-8") as f:
