@@ -781,6 +781,12 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
         best_epoch = int(resume_extra.get("best_epoch", 0))
         patience = int(resume_extra.get("patience", 0))
         lr_ctl.load_state_dict(resume_extra.get("lr_state", {}))
+        try:
+            best_frozen_spec = Engine.frozen_spec_from_config(
+                resume_extra.get("best_frozen_spec"), tn_cfg.n_layers
+            )
+        except ValueError:
+            best_frozen_spec = None
         if os.path.exists(model_path) and np.isfinite(best_nll):
             best_params, _ = artifacts_io.load_checkpoint(model_path)
         console().print(
@@ -1109,6 +1115,14 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
                     "best_epoch": best_epoch,
                     "patience": patience,
                     "lr_state": lr_ctl.state_dict(),
+                    # spec active at the best snapshot (msgpack-safe nested
+                    # lists; [] = dynamic) so a resumed run still writes the
+                    # right spec into config_used.yaml
+                    "best_frozen_spec": (
+                        [[list(slot) for slot in layer] for layer in best_frozen_spec]
+                        if best_frozen_spec is not None
+                        else []
+                    ),
                 },
             )
 

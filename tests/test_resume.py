@@ -140,3 +140,45 @@ def test_train_state_ema_field_migration(tmp_path):
     # EMA-on file -> EMA-on template: round-trips intact
     got_rt, _ = load_train_state(path2, state_on)
     np.testing.assert_array_equal(got_rt.ema["w"], np.full(4, 7.0, np.float32))
+
+
+def test_train_state_round_trips_best_frozen_spec(tmp_path):
+    """best_frozen_spec survives save_train_state/load_train_state so a
+    resumed run records the right spec into config_used.yaml."""
+
+    import jax
+
+    from flow_timesnet_tpu.engine import Engine
+    from flow_timesnet_tpu.models.timesnet import TimesNetConfig
+    from flow_timesnet_tpu.utils import artifacts as artifacts_io
+
+    cfg = TimesNetConfig(
+        input_len=14, pred_len=4, d_model=8, d_ff=16, n_layers=1, k_periods=2,
+        kernel_set=((3, 3),), dropout=0.0, activation="gelu", mode="direct",
+        c_in=1, id_vocab=2,
+    )
+    engine = Engine(cfg, num_series=2)
+    batch = {
+        "x": np.zeros((2, 14, 1), np.float32),
+        "y": np.zeros((2, 4, 1), np.float32),
+        "mask": np.ones((2, 4, 1), np.float32),
+        "x_mark": None, "y_mark": None, "static": None,
+        "ids": np.arange(2).reshape(2, 1), "floor": None, "row_valid": None,
+    }
+    state = engine.init_state(jax.random.PRNGKey(0), batch)
+    spec = (((7, 4, True), (10, 3, False)),)
+    path = str(tmp_path / "train_state.msgpack")
+    artifacts_io.save_train_state(
+        path, state,
+        {"epoch": 1,
+         "best_frozen_spec": [[list(s) for s in layer] for layer in spec]},
+    )
+    _, extra = artifacts_io.load_train_state(path, state)
+    restored = Engine.frozen_spec_from_config(
+        extra.get("best_frozen_spec"), cfg.n_layers
+    )
+    assert restored == spec
+    # dynamic-best runs store [] which must deserialize to None
+    artifacts_io.save_train_state(path, state, {"best_frozen_spec": []})
+    _, extra = artifacts_io.load_train_state(path, state)
+    assert Engine.frozen_spec_from_config(extra.get("best_frozen_spec"), 1) is None
