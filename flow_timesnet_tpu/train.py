@@ -286,13 +286,21 @@ def _staged_nbytes(batcher) -> int:
     return per_fold * len(sources)
 
 
-def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
+def train_once(
+    cfg: PipelineConfig | Dict[str, Any],
+    epoch_hook: Optional[Any] = None,
+) -> Tuple[float, Dict[str, Any]]:
+    # ``epoch_hook(epoch, selection_value) -> bool`` is called after every
+    # epoch's validation; returning True stops training early (the tuner's
+    # pruner — optuna MedianPruner analogue for the in-repo sampler). It is
+    # a Python callable, so it rides as a keyword, never through the config.
+    #
     # ``train.debug_nans`` flips a process-global jax.config flag; restore it
     # on every exit so one debug run cannot leak de-optimized NaN checking
     # into subsequent predict/tune work in the same process.
     prev_debug_nans = bool(jax.config.jax_debug_nans)
     try:
-        return _train_once_impl(cfg)
+        return _train_once_impl(cfg, epoch_hook=epoch_hook)
     finally:
         jax.config.update("jax_debug_nans", prev_debug_nans)
         # a mid-epoch exception (e.g. the finite-loss guard) must not leave
@@ -305,7 +313,10 @@ def train_once(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, A
             pass
 
 
-def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
+def _train_once_impl(
+    cfg: PipelineConfig | Dict[str, Any],
+    epoch_hook: Optional[Any] = None,
+) -> Tuple[float, Dict[str, Any]]:
     if isinstance(cfg, PipelineConfig):
         pipeline_cfg = cfg
     elif isinstance(cfg, dict):
@@ -1091,6 +1102,12 @@ def _train_once_impl(cfg: PipelineConfig | Dict[str, Any]) -> Tuple[float, Dict[
                     f"(val_nll={best_nll:.6f}, val_smape={best_smape:.6f})[/yellow]"
                 )
                 break
+        if epoch_hook is not None and epoch_hook(ep, float(sel_value)):
+            console().print(
+                f"[yellow]Pruned at epoch {ep} by the tuner "
+                f"(val_{selection_metric}={sel_value:.6f})[/yellow]"
+            )
+            break
         if save_state_enabled:
             if best_params is not None and best_epoch == ep:
                 artifacts_io.save_checkpoint(

@@ -14,7 +14,9 @@ import math
 import os
 import random
 import time
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, List, Mapping
+
+import numpy as np
 
 from .config import PipelineConfig, load_yaml, save_yaml
 from .train import train_once
@@ -66,6 +68,52 @@ def _suggest_optuna(trial, path: str, spec: Mapping[str, Any]) -> Any:
     )
 
 
+class MedianPruner:
+    """Per-epoch median pruning for the in-repo samplers (the optuna
+    MedianPruner analogue, wired through ``train_once``'s ``epoch_hook``).
+
+    A trial stops as soon as its best-so-far selection value at epoch k is
+    worse than the median of the previous trials' best-so-far values at
+    epoch k. The first ``n_startup`` trials and the first ``warmup_epochs``
+    epochs are never pruned. Peers that stopped before epoch k contribute
+    their final best (conservative: a pruned peer's bad value keeps the
+    median honest without ever making it stricter than observed reality).
+    """
+
+    def __init__(self, n_startup: int = 4, warmup_epochs: int = 3) -> None:
+        self.n_startup = int(n_startup)
+        self.warmup_epochs = int(warmup_epochs)
+        self._histories: List[Dict[int, float]] = []
+
+    @staticmethod
+    def _best_up_to(history: Mapping[int, float], ep: int) -> float | None:
+        vals = [v for e, v in history.items() if e <= ep]
+        return min(vals) if vals else None
+
+    def hook(self):
+        """A fresh per-trial ``epoch_hook(ep, value) -> should_stop``."""
+
+        completed = list(self._histories)  # previous trials only
+        hist: Dict[int, float] = {}
+        self._histories.append(hist)
+
+        def epoch_hook(ep: int, value: float) -> bool:
+            hist[ep] = float(value)
+            if len(completed) < self.n_startup or ep <= self.warmup_epochs:
+                return False
+            peers = [
+                b
+                for h in completed
+                if (b := self._best_up_to(h, ep)) is not None
+            ]
+            if len(peers) < self.n_startup:
+                return False
+            mine = self._best_up_to(hist, ep)
+            return mine is not None and mine > float(np.median(peers))
+
+        return epoch_hook
+
+
 def tune(
     base_cfg: PipelineConfig,
     search_space_path: str,
@@ -89,7 +137,7 @@ def tune(
             f"tuning.objective must be val_nll or val_smape, got {objective_key!r}"
         )
 
-    def run_with(params: Mapping[str, Any]) -> float:
+    def run_with(params: Mapping[str, Any], epoch_hook=None) -> float:
         cfg_dict = base_cfg.to_dict()
         for path, value in params.items():
             _set_dotted(cfg_dict, path, value)
@@ -100,7 +148,7 @@ def tune(
         cfg_dict.setdefault("train", {})["resume"] = False
         trial_cfg = PipelineConfig.from_mapping(cfg_dict)
         try:
-            best_nll, info = train_once(trial_cfg)
+            best_nll, info = train_once(trial_cfg, epoch_hook=epoch_hook)
         except FloatingPointError as err:
             # a diverged trial is a valid (terrible) observation for the
             # sampler, not a reason to kill the whole study
@@ -137,10 +185,15 @@ def tune(
 
         def objective(trial):
             params = {path: _suggest_optuna(trial, path, spec) for path, spec in space.items()}
-            value = run_with(params)
-            # single end-of-training report, as the reference does
-            # (cli.py:79-81) — lets MedianPruner compare across trials
-            trial.report(value, step=1)
+
+            def epoch_hook(ep: int, value: float) -> bool:
+                # per-epoch intermediate reports: optuna's MedianPruner gets
+                # real curves to prune on (the reference reports once at the
+                # end, cli.py:79-81, which never actually prunes)
+                trial.report(float(value), step=int(ep))
+                return bool(trial.should_prune())
+
+            value = run_with(params, epoch_hook=epoch_hook)
             if trial.should_prune():
                 raise optuna.TrialPruned()
             return value
@@ -150,6 +203,13 @@ def tune(
         best_value = float(study.best_value)
     else:
         sampler_name = str(tuning_cfg.get("sampler", "tpe")).lower()
+        # per-epoch median pruning (same default as the optuna branch);
+        # ``tuning.pruner: none`` disables it
+        pruner = (
+            MedianPruner()
+            if str(tuning_cfg.get("pruner", "median")).lower() == "median"
+            else None
+        )
         if sampler_name.startswith("random"):
             console().print("[yellow]built-in seeded random search.[/yellow]")
             rng = random.Random(seed)
@@ -160,7 +220,9 @@ def tune(
                     console().print("[yellow]tuning.timeout_min reached; stopping.[/yellow]")
                     break
                 params = {path: _sample_spec(rng, spec) for path, spec in space.items()}
-                value = run_with(params)
+                value = run_with(
+                    params, epoch_hook=pruner.hook() if pruner else None
+                )
                 console().print(
                     f"[cyan]trial {i + 1}/{trials}: {objective_key}={value:.6f} {params}[/cyan]"
                 )
@@ -186,7 +248,9 @@ def tune(
                     console().print("[yellow]tuning.timeout_min reached; stopping.[/yellow]")
                     break
                 params = sampler.suggest()
-                value = run_with(params)
+                value = run_with(
+                    params, epoch_hook=pruner.hook() if pruner else None
+                )
                 sampler.observe(value, params)
                 console().print(
                     f"[cyan]trial {i + 1}/{trials}: {objective_key}={value:.6f} {params}[/cyan]"

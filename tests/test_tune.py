@@ -272,7 +272,7 @@ def test_diverged_trial_scores_inf_and_study_survives(tmp_path, monkeypatch):
     monkeypatch.setattr(tune_mod, "HAS_OPTUNA", False)
     calls = {"n": 0}
 
-    def fake_train_once(cfg):
+    def fake_train_once(cfg, epoch_hook=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise FloatingPointError("Training mask coverage collapsed to 0")
@@ -339,3 +339,61 @@ def test_evaluate_reports_inf_for_nan_params():
     # empty eval stream is not a perfect score either
     empty = engine.evaluate(params, [])
     assert empty["nll"] == float("inf")
+
+
+def test_median_pruner_logic():
+    from flow_timesnet_tpu.tune import MedianPruner
+
+    pr = MedianPruner(n_startup=2, warmup_epochs=1)
+    # two startup trials, never pruned
+    for vals in ([0.9, 0.8, 0.7], [0.85, 0.75, 0.65]):
+        hook = pr.hook()
+        for ep, v in enumerate(vals, start=1):
+            assert hook(ep, v) is False
+    # a clearly-worse third trial prunes right after warmup
+    hook = pr.hook()
+    assert hook(1, 2.0) is False          # warmup epoch
+    assert hook(2, 2.0) is True           # 2.0 > median(0.8, 0.75)
+    # a better-than-median trial survives
+    hook = pr.hook()
+    assert hook(1, 0.9) is False
+    assert hook(2, 0.70) is False         # 0.70 < median of bests-at-2
+    assert hook(3, 0.60) is False
+
+
+def test_epoch_hook_stops_training(tmp_path):
+    """train_once honours epoch_hook: pruning at epoch 2 of 5 stops early
+    and still returns the best-so-far metrics."""
+
+    from flow_timesnet_tpu.train import train_once
+
+    train_csv = tmp_path / "train.csv"
+    _make_csv(train_csv)
+    cfg = PipelineConfig.from_mapping(
+        {
+            "data": {"train_csv": str(train_csv), "date_col": "date",
+                     "id_col": "id", "target_col": "target",
+                     "time_features": {"enabled": False}},
+            "preprocess": {"normalize": "none", "clip_negative": True},
+            "window": {"input_len": 12, "pred_len": 4},
+            "model": {"mode": "direct", "input_len": 12, "pred_len": 4,
+                      "d_model": 8, "d_ff": 16, "n_layers": 1, "k_periods": 1,
+                      "min_period_threshold": 2, "kernel_set": [[3, 3]],
+                      "dropout": 0.0, "id_embed_dim": 2},
+            "train": {"device": "cpu", "epochs": 5, "batch_size": 4,
+                      "lr": 1e-3, "lr_warmup_steps": 0,
+                      "val": {"strategy": "holdout", "holdout_days": 18}},
+            "artifacts": {"dir": str(tmp_path / "artifacts")},
+            "tuning": {"seed": 3},
+        }
+    )
+    seen = []
+
+    def hook(ep, value):
+        seen.append((ep, value))
+        return ep >= 2
+
+    best_nll, info = train_once(cfg, epoch_hook=hook)
+    assert [e for e, _ in seen] == [1, 2]
+    assert np.isfinite(best_nll)
+    assert np.isfinite(info["metrics"]["smape"])
