@@ -8,7 +8,9 @@ set -u
 cd /root/repo
 BEST=outputs/tune_flagship3/best_config.yaml
 [ -f "$BEST" ] || { echo "no best_config.yaml yet"; exit 2; }
-for SEED in "${@:-2025 7 8}"; do
+SEEDS=("$@")
+[ ${#SEEDS[@]} -eq 0 ] && SEEDS=(2025 7 8)
+for SEED in "${SEEDS[@]}"; do
   OUT="outputs/tune3_winner_s${SEED}"
   mkdir -p "$OUT"
   echo "=== winner seed $SEED train start $(date -u +%H:%M:%S) ==="
