@@ -221,6 +221,45 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: _put_global(x, spec), tree)
 
 
+def sync_frozen_spec(spec, n_layers: int, k: int):
+    """Make the freeze-periods decision globally consistent under DP.
+
+    On a multi-process runtime every process derives the frozen-period spec
+    from its own telemetry probe; if any process disagreed (different probe
+    rows, nondeterministic reductions), the processes would compile DIFFERENT
+    specialized programs and deadlock in the gradient all-reduce. Broadcast
+    process 0's snapshot so every downstream freeze/drift decision is a pure
+    function of one global spec sequence (VERDICT r4 #3).
+
+    Must be called by EVERY process at the same point in the epoch loop (it
+    is a collective). Single-process: identity, zero cost. ``spec`` is the
+    hashable per-layer tuple from ``Engine.frozen_spec_from_telemetry`` or
+    ``None``; both encode into one fixed-shape int32 vector.
+    """
+
+    if jax.process_count() == 1:
+        return spec
+
+    from jax.experimental import multihost_utils
+
+    n_vals = int(n_layers) * int(k) * 3
+    enc = np.zeros((1 + n_vals,), np.int32)
+    if spec is not None:
+        flat = [int(v) for layer in spec for slot in layer for v in slot]
+        # a spec whose slot count disagrees with k cannot encode — broadcast
+        # "no spec" so every process stays on the dynamic path together
+        if len(flat) == n_vals:
+            enc[0] = 1
+            enc[1:] = np.asarray(flat, np.int32)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(enc))
+    if int(out[0]) != 1:
+        return None
+    vals = out[1:].reshape(int(n_layers), int(k), 3)
+    return tuple(
+        tuple((int(p), int(f), bool(v)) for p, f, v in layer) for layer in vals
+    )
+
+
 def _path_names(path) -> tuple:
     return tuple(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
 

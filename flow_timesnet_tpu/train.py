@@ -49,6 +49,7 @@ from .parallel.mesh import (
     replicated,
     shard_batch,
     shard_train_state,
+    sync_frozen_spec,
 )
 from .utils import artifacts as artifacts_io
 from .utils import metadata as metadata_utils
@@ -614,6 +615,12 @@ def _train_once_impl(
         if not freeze_enabled:
             return current_engine
         spec_now = Engine.frozen_spec_from_telemetry(telemetry, tn_cfg.n_layers)
+        # Multi-process DP: per-process telemetry could disagree, and processes
+        # holding different specs would compile different programs and deadlock
+        # in the gradient all-reduce. Broadcast process 0's snapshot (a
+        # collective — every process reaches this call each epoch when
+        # freezing is enabled) so the whole decision sequence below is global.
+        spec_now = sync_frozen_spec(spec_now, tn_cfg.n_layers, tn_cfg.k_periods)
         if spec_now is None:
             return current_engine
         prev = frozen_state["prev"]

@@ -337,6 +337,17 @@ def test_predict_freeze_periods_e2e(tmp_path):
     p_chunk = predict_once(PipelineConfig.from_mapping(pred_cfg))
     d = pd.read_csv(p_chunk).set_index("row_key")
     np.testing.assert_allclose(d.to_numpy(), b.to_numpy(), rtol=1e-5, atol=1e-5)
+
+    # chunk-aware DEFAULT (VERDICT r4 #6): chunking active + config silent on
+    # freeze_periods -> defaults to auto -> the stored spec engages, so the
+    # output equals the frozen submission (selection-invariant chunking),
+    # not the chunk-local dynamic one
+    pred_cfg["predict"] = {"chunk_rows": 2}
+    pred_cfg["submission"] = {"format": "row_key",
+                              "out_path": str(tmp_path / "sub_default_chunked.csv")}
+    p_def = predict_once(PipelineConfig.from_mapping(pred_cfg))
+    e = pd.read_csv(p_def).set_index("row_key")
+    np.testing.assert_allclose(e.to_numpy(), b.to_numpy(), rtol=1e-5, atol=1e-5)
     pred_cfg["predict"] = {"freeze_periods": "on"}
 
     # strip the stored spec -> freeze_periods=on must fail loudly

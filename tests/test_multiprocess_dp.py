@@ -52,7 +52,8 @@ def test_two_process_dp_matches_single_process():
         m = re.search(
             r"RESULT pid=(\d) losses=([\d.,\-]+) digest=([\d.\-]+) "
             r"eplosses=([\d.,\-]+) nll=([\d.\-]+) digest2=([\d.\-]+) "
-            r"hlosses=([\d.,\-]+)",
+            r"hlosses=([\d.,\-]+) spec=([\d:;]+) frlosses=([\d.,\-]+) "
+            r"frnll=([\d.\-]+)",
             out,
         )
         assert m, f"no RESULT line in:\n{out[-2000:]}"
@@ -63,6 +64,9 @@ def test_two_process_dp_matches_single_process():
             float(m.group(5)),
             float(m.group(6)),
             [float(v) for v in m.group(7).split(",")],
+            m.group(8),
+            [float(v) for v in m.group(9).split(",")],
+            float(m.group(10)),
         )
     assert set(results) == {0, 1}
 
@@ -77,6 +81,13 @@ def test_two_process_dp_matches_single_process():
     # reproduces the 1-D mesh's trajectory (row-order invariant batch mean)
     np.testing.assert_allclose(results[0][5], results[1][5], rtol=1e-6)
     np.testing.assert_allclose(results[0][5], results[0][0], rtol=1e-4, atol=1e-5)
+    # freeze under the mesh (VERDICT r4 #3): process 1 DELIBERATELY derived a
+    # perturbed local spec; after sync_frozen_spec both must hold process 0's
+    # spec and their frozen resident epochs must agree exactly
+    assert results[0][6] == results[1][6], (results[0][6], results[1][6])
+    np.testing.assert_allclose(results[0][7], results[1][7], rtol=1e-6)
+    assert results[0][8] == pytest.approx(results[1][8], rel=1e-6)
+    assert np.all(np.isfinite(results[0][7]))
 
     # single-process reference trajectory (same batches/plan, no mesh)
     from two_process_worker import (

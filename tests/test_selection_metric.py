@@ -162,7 +162,7 @@ def test_tune_objective_val_smape(tmp_path, monkeypatch):
         0.002: (2.0, 0.2),  # lr=0.002 -> nll 2.0, smape 0.2
     }
 
-    def fake_train_once(cfg):
+    def fake_train_once(cfg, epoch_hook=None):
         lr = round(float(cfg.raw["train"]["lr"]), 6)
         nll, smape = outcomes[lr]
         return nll, {"metrics": {"nll": nll, "smape": smape, "wsmape": smape}}

@@ -173,11 +173,45 @@ def main() -> None:
     h_batch = shard_batch(hybrid_mesh, batch)
     _, h_losses = run_steps(engine, h_state, h_batch)
 
+    # --- freeze_periods under the 2-process mesh (VERDICT r4 #3): derive a
+    # frozen spec from per-process telemetry, DELIBERATELY perturb it on
+    # process 1 (modelling probes that disagree — the naive deadlock case),
+    # sync it globally, and run a FROZEN resident epoch over the shared mesh.
+    # Both processes must end up compiling the identical specialized program.
+    import dataclasses
+
+    from flow_timesnet_tpu.parallel.mesh import sync_frozen_spec
+
+    telemetry = engine.collect_period_telemetry_staged(
+        state.params, staged, idx[0], rv[0]
+    )
+    spec_local = Engine.frozen_spec_from_telemetry(telemetry, cfg.n_layers)
+    assert spec_local is not None, "telemetry did not yield a frozen spec"
+    if pid == 1:  # naive per-process disagreement
+        (p0, f0, v0), *rest = spec_local[0]
+        spec_local = ((int(p0) + 1, int(f0), bool(v0)), *rest),
+    spec = sync_frozen_spec(spec_local, cfg.n_layers, cfg.k_periods)
+    assert spec is not None
+    spec_str = ";".join(
+        f"{p}:{f}:{int(v)}" for layer in spec for p, f, v in layer
+    )
+    frozen_engine = Engine(
+        dataclasses.replace(cfg, frozen_periods=spec),
+        use_loss_masking=True, grad_clip_norm=1.0, num_series=8,
+    )
+    state, fr_losses, fr_nll = run_resident_epoch(
+        frozen_engine, state, staged, idx, rv,
+        put=lambda a: put_global(a, plan_spec),
+    )
+
     print(f"RESULT pid={pid} losses={','.join(f'{v:.8f}' for v in losses)} "
           f"digest={digest:.6f} "
           f"eplosses={','.join(f'{v:.8f}' for v in ep_losses)} "
           f"nll={nll:.8f} digest2={digest2:.6f} "
-          f"hlosses={','.join(f'{v:.8f}' for v in h_losses)}", flush=True)
+          f"hlosses={','.join(f'{v:.8f}' for v in h_losses)} "
+          f"spec={spec_str} "
+          f"frlosses={','.join(f'{v:.8f}' for v in fr_losses)} "
+          f"frnll={fr_nll:.8f}", flush=True)
 
 
 if __name__ == "__main__":
