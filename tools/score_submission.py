@@ -45,19 +45,31 @@ from flow_timesnet_tpu.utils.metrics import smape_mean, wsmape_grouped  # noqa: 
 _ROW_KEY = re.compile(r"^(TEST_\d+)\+D(\d+)$")
 
 
-def truth_frame(seed: int, use_expected: bool = False) -> pd.DataFrame:
+def truth_frame(seed: int, use_expected: bool = False, *,
+                n_stores: int | None = None, n_menus: int | None = None,
+                t_train: int | None = None) -> pd.DataFrame:
     """Ground-truth demand for every TEST future day, indexed by row key.
 
     ``use_expected`` returns the simulator's conditional expectation instead —
     scoring it as a submission gives the irreducible-noise floor (no
     forecaster can beat the true mean on NB-sampled counts, in expectation).
+    ``n_stores``/``n_menus``/``t_train`` re-simulate non-default dataset
+    shapes (e.g. the 10k-series high-cardinality benchmark: 100x100, 200 days).
     """
 
-    dates, ids, demand, _, expected = simulate(seed)
+    sim_kwargs = {}
+    if n_stores is not None:
+        sim_kwargs["n_stores"] = n_stores
+    if n_menus is not None:
+        sim_kwargs["n_menus"] = n_menus
+    t_train = T_TRAIN if t_train is None else int(t_train)
+    if t_train != T_TRAIN:
+        sim_kwargs["t_train"] = t_train
+    dates, ids, demand, _, expected = simulate(seed, **sim_kwargs)
     values = expected if use_expected else demand
     keys, rows, key_dates = [], [], []
     for i in range(TEST_FILES):
-        future0 = T_TRAIN + i * HORIZON + TEST_HISTORY
+        future0 = t_train + i * HORIZON + TEST_HISTORY
         for d in range(HORIZON):
             keys.append(f"TEST_{i:02d}+D{d + 1}")
             key_dates.append(dates[future0 + d].strftime("%Y-%m-%d"))
@@ -112,12 +124,19 @@ def main() -> None:
     ap.add_argument("submission", nargs="?", default=None)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--label", default=None)
+    ap.add_argument("--stores", type=int, default=None,
+                    help="re-simulate with this many stores (HC benchmark: 100)")
+    ap.add_argument("--menus", type=int, default=None,
+                    help="re-simulate with this many menus (HC benchmark: 100)")
+    ap.add_argument("--days", type=int, default=None,
+                    help="re-simulate with this training length (HC: 200)")
     ap.add_argument("--oracle", action="store_true",
                     help="score the simulator's conditional mean (noise floor)")
     args = ap.parse_args()
-    truth = truth_frame(args.seed)
+    shape = dict(n_stores=args.stores, n_menus=args.menus, t_train=args.days)
+    truth = truth_frame(args.seed, **shape)
     if args.oracle:
-        sub = truth_frame(args.seed, use_expected=True)
+        sub = truth_frame(args.seed, use_expected=True, **shape)
         label = "oracle_conditional_mean"
     else:
         if args.submission is None:
