@@ -303,3 +303,17 @@ def test_host_pipeline_dp_train_once_matches_single(tmp_path):
         return best
 
     np.testing.assert_allclose(run("off"), run("auto"), rtol=1e-5, atol=1e-6)
+
+
+def test_sync_frozen_spec_single_process_identity():
+    """Single-process: sync_frozen_spec is the identity (no collective).
+
+    The multi-process broadcast path (including a deliberately perturbed
+    per-process spec) is exercised for real by tests/test_multiprocess_dp.py.
+    """
+
+    from flow_timesnet_tpu.parallel.mesh import sync_frozen_spec
+
+    assert sync_frozen_spec(None, n_layers=2, k=2) is None
+    spec = (((7, 3, True), (27, 1, True)), ((7, 3, True), (27, 1, False)))
+    assert sync_frozen_spec(spec, n_layers=2, k=2) is spec
