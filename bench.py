@@ -18,7 +18,7 @@ ours / reference. Falls back to the best recorded uncontended reference
 measurement when the live run is unavailable or skipped.
 
 Survivability (VERDICT r4 #1): the whole run operates under a global
-deadline (``BENCH_DEADLINE_S``, default 1080 s after the backend is up, plus
+deadline (``BENCH_DEADLINE_S``, default 1440 s after the backend is up, plus
 a hard cap ``BENCH_HARD_CAP_S`` from process start). A watchdog THREAD — not
 a signal handler, which a blocked C call would defer — emits the JSON line
 with everything measured so far and exits the process when the deadline
@@ -609,6 +609,54 @@ def _benchmark_overrides(data_dir: str, tmp: str, epochs: int, extra=()):
     ]
 
 
+def _stored_frozen_spec(cfg):
+    """Frozen spec from committed trained artifacts, newest first.
+
+    Scans ``outputs/*/artifacts/config_used.yaml`` (and one level up) for a
+    ``train.frozen_periods_spec`` recorded by a real flagship training run —
+    the cheapest honest source (VERDICT r4 #2's alternative to a live
+    warmup). Only checkpoints whose shape keys match the bench config
+    (input_len / k_periods / n_layers / d_model) qualify, so the spec's
+    dense fold extents are valid for the program being measured.
+    Returns ``(spec, relpath)`` or ``(None, None)``.
+    """
+
+    import glob
+
+    from flow_timesnet_tpu.engine import Engine
+
+    import yaml
+
+    candidates = sorted(
+        glob.glob(os.path.join(_ROOT, "outputs", "*", "artifacts", "config_used.yaml"))
+        + glob.glob(os.path.join(_ROOT, "outputs", "*", "config_used.yaml")),
+        key=os.path.getmtime, reverse=True,
+    )
+    for path in candidates:
+        try:
+            with open(path, encoding="utf-8") as f:
+                used = yaml.safe_load(f) or {}
+            model = used.get("model") or {}
+            window = used.get("window") or {}
+            in_len = window.get("input_len", model.get("input_len", 0))
+            if (
+                int(model.get("d_model", 0)) != int(cfg.d_model)
+                or int(model.get("n_layers", 0)) != int(cfg.n_layers)
+                or int(model.get("k_periods", 0)) != int(cfg.k_periods)
+                or int(in_len) != int(cfg.input_len)
+            ):
+                continue
+            raw = (used.get("train") or {}).get("frozen_periods_spec")
+            if not raw:
+                continue
+            spec = Engine.frozen_spec_from_config(raw, cfg.n_layers)
+            if spec is not None:
+                return spec, os.path.relpath(path, _ROOT)
+        except Exception:  # noqa: BLE001 - a bad artifact never blocks bench
+            continue
+    return None, None
+
+
 def _trained_frozen_spec(n_layers: int, log_path: str):
     """Frozen-period spec from a short REAL warmup (VERDICT r4 #2).
 
@@ -633,7 +681,7 @@ def _trained_frozen_spec(n_layers: int, log_path: str):
         cfg = PipelineConfig.from_files(
             os.path.join(_ROOT, "configs", "demand_benchmark.yaml"),
             overrides=_benchmark_overrides(
-                data_dir, tmp, epochs=3,
+                data_dir, tmp, epochs=5,
                 extra=("train.freeze_periods=true", "train.freeze_after_epoch=1"),
             ),
         )
@@ -648,7 +696,7 @@ def _trained_frozen_spec(n_layers: int, log_path: str):
             used = yaml.safe_load(cf) or {}
         raw = (used.get("train") or {}).get("frozen_periods_spec")
     info = {
-        "warmup_epochs": 3,
+        "warmup_epochs": 5,
         "warmup_windows_per_s": [
             round(float(v), 1)
             for v in out["metrics"].get("epoch_windows_per_s", [])
@@ -759,7 +807,7 @@ def main() -> None:
     # measurement budget starts AFTER the backend is up
     _DEADLINE["t"] = min(
         _DEADLINE["t"],
-        time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", "1080")),
+        time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", "1440")),
     )
 
     import jax
@@ -834,10 +882,16 @@ def main() -> None:
         if not recipe_freezes:
             extra["resident_epoch_frozen"] = {"skipped": "recipe does not freeze"}
             return
-        spec, warm_info = _trained_frozen_spec(
-            cfg.n_layers, os.path.join(_ROOT, "outputs", "bench_warmup.log")
-        )
-        extra["frozen_spec_warmup"] = warm_info
+        # cheapest honest source first: a spec stored by a committed real
+        # training run; fall back to a live 3-epoch warmup
+        spec, stored_from = _stored_frozen_spec(cfg)
+        if spec is not None:
+            extra["frozen_spec_source"] = {"stored_artifact": stored_from}
+        else:
+            spec, warm_info = _trained_frozen_spec(
+                cfg.n_layers, os.path.join(_ROOT, "outputs", "bench_warmup.log")
+            )
+            extra["frozen_spec_source"] = warm_info
         if spec is None:
             extra["resident_epoch_frozen"] = {
                 "skipped": "warmup produced no stable frozen spec"
@@ -847,7 +901,10 @@ def main() -> None:
         fengine, fstate, fbatch = _make_engine_and_batch(fcfg, batch)
         fres = _resident_epoch_windows_per_sec(fengine, fcfg, batch)
         fres["periods"] = sorted({p for lyr in spec for p, _, v in lyr if v})
-        fres["spec_source"] = "train_once warmup (3 real epochs)"
+        fres["spec_source"] = (
+            f"stored artifact {stored_from}" if stored_from
+            else "train_once warmup (5 real epochs)"
+        )
         extra["resident_epoch_frozen"] = fres
         if fres["windows_per_s"] > _RESULT["value"]:
             _RESULT["value"] = round(float(fres["windows_per_s"]), 2)
