@@ -210,6 +210,24 @@ def tune(
             if str(tuning_cfg.get("pruner", "median")).lower() == "median"
             else None
         )
+        def _persist_best(value: float, params: dict) -> None:
+            # Written on every improvement, not just at study end: a study
+            # killed mid-trial (driver round close, stage timeout) must
+            # still leave its best-so-far usable by the winner-confirmation
+            # runner instead of silently keeping a stale previous study's.
+            save_json(
+                {"best_value": value, "objective": objective_key,
+                 "best_params": params},
+                os.path.join(out_dir, "best_params.json"),
+            )
+            cfg_out = base_cfg.to_dict()
+            for path, v in params.items():
+                _set_dotted(cfg_out, path, v)
+            save_yaml(
+                PipelineConfig.from_mapping(cfg_out).to_dict(),
+                os.path.join(out_dir, "best_config.yaml"),
+            )
+
         if sampler_name.startswith("random"):
             console().print("[yellow]built-in seeded random search.[/yellow]")
             rng = random.Random(seed)
@@ -229,6 +247,7 @@ def tune(
                 if value < best_value:
                     best_value = value
                     best_params = dict(params)
+                    _persist_best(best_value, best_params)
         else:
             # In-repo TPE (same algorithm family as optuna's default sampler)
             # so environments without optuna still get model-based search.
@@ -258,6 +277,7 @@ def tune(
                 if value < best_value:
                     best_value = value
                     best_params = dict(params)
+                    _persist_best(best_value, best_params)
 
     save_json(
         {"best_value": best_value, "objective": objective_key, "best_params": best_params},
